@@ -1,0 +1,276 @@
+"""FK-closure engine: the set-at-a-time replacement for the reference's
+recursive row-at-a-time core (``subsetter.py::Db.create_row_in`` and the
+``Db.create_subset_in`` scheduler loop).
+
+Reference semantics preserved:
+
+* **Parent closure** (op #9): every selected row's non-null FK values
+  must resolve to a selected parent row.  Reference: recursive
+  ``create_row_in`` on each parent before inserting the child.  Here:
+  key-set propagation child→parent in reverse topological order, one
+  ``left_semi`` join per FK edge; FK cycles and self-referential tables
+  iterate to a fixpoint with an anti-join against already-selected keys
+  (the set equivalent of the reference's ``_exists`` base case that
+  terminates its recursion).
+* **Capped child pull** (op #10): after a row is selected, up to
+  ``--children`` (default 3) referencing rows per child FK are pulled so
+  subsets are "fleshed out".  Here: window top-k per parent key.
+* **Existence/dedup** (op #8): ``_exists`` before insert → key sets are
+  kept distinct and additions are anti-joined.
+* **Policies** (op #13): full / exclude.  Excluded tables never receive
+  keys — parent edges into them are not followed out of them either.
+
+Scale notes (100 TB): only *key sets* flow between iterations (PK
+columns, distinct — orders of magnitude smaller than rows); each
+fixpoint iteration is one Spark job; key sets are ``localCheckpoint``-ed
+per iteration to stop lineage growth (the real scale risk of iterative
+Spark); the final materialization is one ``left_semi`` join per table,
+which AQE turns into a broadcast join whenever the key set is small.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from rdbms_subsetter_spark.catalog import Catalog
+from rdbms_subsetter_spark.constraints import ConstraintRegistry, ForeignKey
+from rdbms_subsetter_spark.sampling import SamplePlan, sample_exact_n
+
+
+def _key_cols(registry: ConstraintRegistry, catalog: Catalog, table: str) -> list[str]:
+    """PK columns, or all columns for no-PK tables (reference falls back
+    to whole-row comparison in ``_exists``)."""
+    pk = registry.pk(table)
+    return list(pk) if pk else list(catalog.table(table).columns)
+
+
+@dataclass
+class SubsetResult:
+    """Selected key sets + lazy row DataFrames for every table."""
+
+    keys: dict[str, DataFrame]
+    rows: dict[str, DataFrame] = field(default_factory=dict)
+
+    def counts(self) -> dict[str, int]:
+        return {t: df.count() for t, df in self.rows.items()}
+
+
+class ClosureEngine:
+    def __init__(self, catalog: Catalog, registry: ConstraintRegistry | None = None):
+        self.catalog = catalog
+        self.registry = registry or catalog.registry
+
+    # ------------------------------------------------------------------
+    def rows_for_keys(self, table: str, keys: DataFrame) -> DataFrame:
+        """Materialize selected rows: one semi-join per table (AQE
+        broadcasts the key side when small)."""
+        kc = list(keys.columns)
+        return self.catalog.table(table).join(keys, on=kc, how="left_semi")
+
+    def _required_parent_keys(
+        self, fk: ForeignKey, child_rows: DataFrame
+    ) -> DataFrame:
+        """Distinct non-null FK values of selected child rows, projected
+        to the parent's key columns.  Handles FKs onto non-PK unique
+        columns by resolving through the parent table."""
+        refvals = (
+            child_rows.select(
+                *[F.col(c).alias(rc) for c, rc in zip(fk.columns, fk.ref_columns)]
+            )
+            .na.drop()
+            .distinct()
+        )
+        parent_pk = _key_cols(self.registry, self.catalog, fk.ref_table)
+        if tuple(fk.ref_columns) == tuple(parent_pk):
+            return refvals
+        # FK references a non-PK column: resolve to PK keys via the parent
+        return (
+            self.catalog.table(fk.ref_table)
+            .join(refvals, on=list(fk.ref_columns), how="left_semi")
+            .select(*parent_pk)
+            .distinct()
+        )
+
+    # ------------------------------------------------------------------
+    def close_parents(
+        self,
+        keys: dict[str, DataFrame],
+        exclude: set[str] | None = None,
+        max_iters: int = 50,
+    ) -> dict[str, DataFrame]:
+        """Propagate required keys child→parent until every FK of every
+        selected row resolves (reference op #9, set-at-a-time).
+
+        Tables are processed one SCC at a time in children-first order;
+        an SCC with a cycle (incl. self-refs) loops until no new keys
+        appear — guaranteed to terminate because key sets only grow and
+        are bounded by the source tables.
+        """
+        exclude = exclude or set()
+        keys = dict(keys)
+        reg = self.registry
+        # sccs() is parents-first; we need children first
+        for comp in reversed(reg.sccs()):
+            comp_set = set(comp)
+            cyclic = len(comp) > 1 or any(
+                fk.table == fk.ref_table == comp[0] for fk in reg.fks
+            )
+            for _ in range(max_iters if cyclic else 1):
+                grew = False
+                for table in comp:
+                    if table not in keys or table in exclude:
+                        continue
+                    child_rows = self.rows_for_keys(table, keys[table])
+                    for fk in reg.parents_of(table):
+                        if fk.ref_table in exclude:
+                            # reference op #13 [~]: parents pulled into
+                            # excluded tables are not inserted
+                            continue
+                        needed = self._required_parent_keys(fk, child_rows)
+                        if fk.ref_table in keys:
+                            new = needed.join(
+                                keys[fk.ref_table],
+                                on=list(needed.columns),
+                                how="left_anti",
+                            )
+                            if cyclic or fk.ref_table in comp_set:
+                                # only pay the count() when termination
+                                # depends on it
+                                new = new.localCheckpoint(eager=True)
+                                if new.count() == 0:
+                                    continue
+                                grew = grew or fk.ref_table in comp_set
+                            keys[fk.ref_table] = (
+                                keys[fk.ref_table].unionByName(new).distinct()
+                            )
+                        else:
+                            keys[fk.ref_table] = needed
+                            grew = grew or fk.ref_table in comp_set
+                        if cyclic:
+                            keys[fk.ref_table] = keys[fk.ref_table].localCheckpoint(
+                                eager=True
+                            )
+                if not cyclic or not grew:
+                    break
+        return keys
+
+    # ------------------------------------------------------------------
+    def pull_children(
+        self,
+        keys: dict[str, DataFrame],
+        k: int,
+        edges: list[ForeignKey] | None = None,
+        exclude: set[str] | None = None,
+        seed: int | None = None,
+    ) -> dict[str, DataFrame]:
+        """Per-parent capped child pull (reference op #10).
+
+        For each child FK whose parent has selected keys, pick up to
+        ``k`` child rows per parent key: window ``row_number() <= k``
+        partitioned by the FK columns.  Deterministic order by the
+        child PK by default (oracle-expressible); pass ``seed`` for the
+        reference's random flavor (``ORDER BY random()``), still
+        reproducible via the seed.
+        """
+        exclude = exclude or set()
+        keys = dict(keys)
+        reg = self.registry
+        edges = edges if edges is not None else list(reg.fks)
+        for fk in edges:
+            if fk.ref_table not in keys or fk.table in exclude:
+                continue
+            child = self.catalog.table(fk.table)
+            parent_rows = self.rows_for_keys(fk.ref_table, keys[fk.ref_table])
+            parent_refvals = (
+                parent_rows.select(
+                    *[F.col(rc).alias(c) for c, rc in zip(fk.columns, fk.ref_columns)]
+                ).distinct()
+            )
+            candidates = child.join(parent_refvals, on=list(fk.columns), how="left_semi")
+            child_pk = _key_cols(reg, self.catalog, fk.table)
+            order = [F.rand(seed), *child_pk] if seed is not None else list(child_pk)
+            w = Window.partitionBy(*fk.columns).orderBy(*order)
+            picked = (
+                candidates.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= k)
+                .select(*child_pk)
+            )
+            if fk.table in keys:
+                keys[fk.table] = keys[fk.table].unionByName(picked).distinct()
+            else:
+                keys[fk.table] = picked
+        return keys
+
+    # ------------------------------------------------------------------
+    def integrity_violations(self, rows: dict[str, DataFrame]) -> dict[str, int]:
+        """Anti-join check per FK edge: count of child rows whose
+        non-null FK values do NOT resolve to a selected parent row.
+        All-zero == referential integrity (the reference's core test
+        invariant, SURVEY.md §5a)."""
+        out: dict[str, int] = {}
+        for fk in self.registry.fks:
+            if fk.table not in rows or fk.ref_table not in rows:
+                continue
+            child_fkvals = rows[fk.table].select(
+                *[F.col(c).alias(rc) for c, rc in zip(fk.columns, fk.ref_columns)]
+            ).na.drop()
+            missing = child_fkvals.join(
+                rows[fk.ref_table].select(*fk.ref_columns),
+                on=list(fk.ref_columns),
+                how="left_anti",
+            )
+            out[f"{fk.table}({','.join(fk.columns)})->{fk.ref_table}"] = missing.count()
+        return out
+
+    # ------------------------------------------------------------------
+    def create_subset(
+        self,
+        plan: SamplePlan,
+        seeds: dict[str, DataFrame] | None = None,
+        child_pull_edges: list[ForeignKey] | None = None,
+        child_pull_rounds: int = 1,
+    ) -> SubsetResult:
+        """Full pipeline (reference ``Db.create_subset_in``), set-at-a-time:
+
+        1. seed every non-excluded table toward its size target
+           (+ forced/explicit seed keys),
+        2. close parents (fixpoint),
+        3. capped child pull,
+        4. re-close parents of the newly pulled rows,
+        repeat 3-4 ``child_pull_rounds`` times.
+
+        The reference's priority scheduler (``_completeness_score`` /
+        ``_next_row``) is a row-at-a-time artifact and disappears; the
+        deterministic pass ordering above is its replacement.
+        """
+        exclude = set(plan.exclude_tables)
+        keys: dict[str, DataFrame] = {}
+        for table in self.catalog.tables():
+            if table in exclude:
+                continue
+            pol = plan.policy_for(table)
+            df = self.catalog.table(table)
+            n = pol.target(self.catalog.count_estimate(table))
+            kc = _key_cols(self.registry, self.catalog, table)
+            if pol.mode == "full":
+                keys[table] = df.select(*kc)
+            elif n > 0:
+                keys[table] = sample_exact_n(df, n, plan.seed, tuple(kc)).select(*kc)
+        if seeds:
+            for table, seed_keys in seeds.items():
+                kc = _key_cols(self.registry, self.catalog, table)
+                sk = seed_keys.select(*kc)
+                keys[table] = keys[table].unionByName(sk).distinct() if table in keys else sk
+
+        keys = self.close_parents(keys, exclude=exclude)
+        for _ in range(child_pull_rounds):
+            keys = self.pull_children(
+                keys, plan.children, edges=child_pull_edges, exclude=exclude,
+                seed=None,
+            )
+            keys = self.close_parents(keys, exclude=exclude)
+
+        rows = {t: self.rows_for_keys(t, k) for t, k in keys.items()}
+        return SubsetResult(keys=keys, rows=rows)

@@ -1,0 +1,43 @@
+"""SparkSession factory tuned for this engine.
+
+Local test profile is ``local[$SPARK_GRAFT_CPUS]``; the same settings
+(AQE on, shuffle partitions sized to cores, Arrow on, UTC session
+timezone) are the ones we would set cluster-wide at 100 TB, with
+``shuffle.partitions`` scaled to ~2-3× total cores there.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "rdbms_subsetter_spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def pin_session_conf(spark: SparkSession) -> None:
+    """Runtime-settable configs we rely on for correctness, applied to a
+    session we did not create (the driver passes its own session to
+    ``entry``/``queries``).  UTC is load-bearing: parquet timestamps are
+    stored as UTC instants and the DuckDB oracle reads them naively, so
+    any other session timezone skews collected timestamps.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
