@@ -17,7 +17,7 @@ from __future__ import annotations
 from pathlib import Path
 
 import pyarrow.parquet as pq
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from rdbms_subsetter_spark.constraints import ConstraintRegistry, tpch_registry
 from rdbms_subsetter_spark.session import pin_session_conf
@@ -34,6 +34,24 @@ TPCH_TABLES = [
     "documents",
     "embeddings",
 ]
+
+
+def _nanos_ts_columns(path: str) -> list[str]:
+    """Column names stored as parquet TIMESTAMP(NANOS) (from the footer)."""
+    target = Path(path)
+    f = target if target.is_file() else next(target.glob("*.parquet"))
+    schema = pq.ParquetFile(str(f)).schema_arrow
+    return [fld.name for fld in schema if str(fld.type) == "timestamp[ns]"]
+
+
+def _fix_nanos_timestamps(df: DataFrame, path: str) -> DataFrame:
+    """Rebuild µs timestamps for columns Spark read as raw nanosecond
+    longs under ``spark.sql.legacy.parquet.nanosAsLong`` (the testdata's
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark rejects
+    natively; values are µs-aligned, so integer division loses nothing)."""
+    for name in _nanos_ts_columns(path):
+        df = df.withColumn(name, F.timestamp_micros(F.expr(f"{name} div 1000")))
+    return df
 
 
 class Catalog:
@@ -69,7 +87,8 @@ class Catalog:
     def table(self, name: str) -> DataFrame:
         """Lazy DataFrame for a table (reference: reflected Table)."""
         if name not in self._cache:
-            self._cache[name] = self.spark.read.parquet(self.path(name))
+            df = self.spark.read.parquet(self.path(name))
+            self._cache[name] = _fix_nanos_timestamps(df, self.path(name))
         return self._cache[name]
 
     def __getitem__(self, name: str) -> DataFrame:

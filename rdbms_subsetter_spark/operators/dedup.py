@@ -1,0 +1,298 @@
+"""Deduplication operators over the ``documents`` table.
+
+Four families, per BASELINE.json's LLM-pipeline north star:
+
+* **exact** — hash-groupBy on a canonical fingerprint (md5 of
+  normalized text); keeper = min doc_id per group.
+* **n-gram Jaccard** — word-3-gram shingles → inverted-index self-join
+  on shared shingle → ``|A∩B| / (|A|+|B|-|A∩B|)``.  The self-join is
+  the standard scale pattern (candidate pairs only where at least one
+  shingle collides, never the full cross product).
+* **MinHash + LSH** — k portable hash functions h_i(s) = 60-bit int of
+  ``md5(i || s)``; signature = min per i; band the signature and
+  bucket-join so only same-bucket pairs are verified.  The hash is
+  md5-derived on purpose: it is bit-identical in any engine, so even
+  the LSH path is DuckDB-oracle-checkable.
+* **SimHash** — 64-bit sign-aggregated token hashes; near-dup =
+  small Hamming distance.
+
+All pure column expressions / joins — no UDFs, no driver-side loops.
+At 100 TB: the explode(shingles) inverted index shuffles on the
+shingle string; hot shingles are frequency-capped (``max_doc_freq``)
+exactly like production near-dup pipelines cap stop-shingles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from rdbms_subsetter_spark.operators.text import fingerprint, normalize, tokens
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(docs: DataFrame) -> DataFrame:
+    """Fingerprint groups: keeper doc_id + group size (hash-groupBy —
+    one shuffle on the 32-char fingerprint)."""
+    return (
+        docs.select(fingerprint(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("group_size"))
+    )
+
+
+def drop_exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Keep one doc per fingerprint (the dedup sink form)."""
+    keep = exact_dedup_groups(docs).select(F.col("keeper_doc_id").alias("doc_id"))
+    return docs.join(keep, on="doc_id", how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingles + n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+
+    Built with ``transform(sequence(...))`` over the token array —
+    stays in codegen; ``explode`` fans out to the inverted index.
+    """
+    toks = normalize(F.col("text"))
+    parts = ", ".join(f"element_at(t, i + {j})" for j in range(n))
+    expr = (
+        f"transform(sequence(1, greatest(size(t) - {n - 1}, 0)),"
+        f" i -> concat_ws(' ', {parts}))"
+    )
+    return (
+        docs.select("doc_id", tokens(toks).alias("t"))
+        .select("doc_id", F.explode(F.expr(expr)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by n-gram Jaccard ≥ threshold.
+
+    Inverted-index self-join: explode shingles, join on equal shingle
+    with ``doc_id_1 < doc_id_2``, count shared shingles, then
+    ``J = shared / (|A| + |B| - shared)``.  ``max_doc_freq`` drops
+    ultra-common shingles before the join (skew control at scale).
+    """
+    sh = shingles(docs, n)
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), on="shingle", how="left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_id_1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_id_2"), "shingle")
+    shared = (
+        a.join(b, on="shingle")
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    out = (
+        shared.join(sizes.withColumnsRenamed({"doc_id": "doc_id_1", "n_sh": "n1"}), on="doc_id_1")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_id_2", "n_sh": "n2"}), on="doc_id_2")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_1", "doc_id_2", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _portable_hash(col, salt: int):
+    """60-bit non-negative int from md5 — bit-identical across engines
+    (Spark: conv(substr(md5, 1, 15), 16, 10); DuckDB: '0x' || hex cast)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}|"), col)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 16, n: int = 3) -> DataFrame:
+    """MinHash signature per doc: one column ``mh_i`` per hash function.
+
+    One explode + one groupBy; the k hash functions are computed
+    per-shingle in a single projection (no k-pass scan).
+    """
+    sh = shingles(docs, n)
+    hashed = sh.select(
+        "doc_id",
+        *[_portable_hash(F.col("shingle"), i).alias(f"h{i}") for i in range(num_hashes)],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"mh{i}") for i in range(num_hashes)]
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs via banded LSH, verified with the estimated
+    Jaccard (= fraction of agreeing minhash components).
+
+    Banding: signature split into ``bands`` groups of ``r = k/bands``;
+    docs sharing any full band land in the same bucket.  The bucket
+    join is an equi-join on (band_id, band_value...) — shuffle on the
+    band hash, never a cross product.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, n)
+    band_rows = None
+    for b in range(bands):
+        cols = [F.col(f"mh{b * r + j}").alias(f"b{j}") for j in range(r)]
+        one = sig.select("doc_id", F.lit(b).alias("band"), *cols)
+        band_rows = one if band_rows is None else band_rows.unionByName(one)
+    key = ["band"] + [f"b{j}" for j in range(r)]
+    a = band_rows.select(F.col("doc_id").alias("doc_id_1"), *key)
+    b2 = band_rows.select(F.col("doc_id").alias("doc_id_2"), *key)
+    cand = (
+        a.join(b2, on=key)
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .select("doc_id_1", "doc_id_2")
+        .distinct()
+    )
+    sig1 = sig.select(F.col("doc_id").alias("doc_id_1"), *[F.col(f"mh{i}").alias(f"x{i}") for i in range(num_hashes)])
+    sig2 = sig.select(F.col("doc_id").alias("doc_id_2"), *[F.col(f"mh{i}").alias(f"y{i}") for i in range(num_hashes)])
+    agree = sum(
+        F.when(F.col(f"x{i}") == F.col(f"y{i}"), 1).otherwise(0) for i in range(num_hashes)
+    )
+    return (
+        cand.join(sig1, on="doc_id_1")
+        .join(sig2, on="doc_id_2")
+        .withColumn("est_jaccard", F.round(agree / F.lit(float(num_hashes)), 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_id_1", "doc_id_2", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
+    """64-bit SimHash per doc from token md5 hashes.
+
+    Per bit b: sign of Σ_tokens (±1 if bit b of hash(token) set).
+    Implemented as one explode + one groupBy with ``bits`` conditional
+    sums — a single shuffle, codegen-friendly, portable to the oracle
+    (same md5-derived hash).
+    """
+    tok = (
+        docs.select("doc_id", F.explode(tokens(normalize(F.col("text")))).alias("tok"))
+        .withColumn("h", _portable_hash(F.col("tok"), 0))
+    )
+    sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(bits)
+        ]
+    )
+    sig = sums.select(
+        "doc_id",
+        sum(
+            F.when(F.col(f"s{b}") > 0, F.lit(2**b).cast("decimal(38,0)")).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+            for b in range(bits)
+        )
+        .cast("decimal(38,0)")
+        .alias("simhash"),
+    )
+    return sig
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 64) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Candidate generation blocks on 16-bit chunks (pigeonhole: any pair
+    within Hamming ≤ 3 agrees on at least one of 4 chunks), so the
+    join is an equi-join on (chunk_id, chunk_value) — no cross product.
+    """
+    sums_bits = simhash_bits(docs, bits)
+    chunks = 4
+    width = bits // chunks
+    rows = None
+    for c in range(chunks):
+        chunk_val = sum(
+            F.when(F.col(f"bit{c * width + j}") == 1, F.lit(2**j)).otherwise(F.lit(0))
+            for j in range(width)
+        )
+        one = sums_bits.select("doc_id", F.lit(c).alias("chunk"), chunk_val.alias("cv"))
+        rows = one if rows is None else rows.unionByName(one)
+    a = rows.select(F.col("doc_id").alias("doc_id_1"), "chunk", "cv")
+    b = rows.select(F.col("doc_id").alias("doc_id_2"), "chunk", "cv")
+    cand = (
+        a.join(b, on=["chunk", "cv"])
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .select("doc_id_1", "doc_id_2")
+        .distinct()
+    )
+    b1 = sums_bits.select(
+        F.col("doc_id").alias("doc_id_1"), *[F.col(f"bit{i}").alias(f"p{i}") for i in range(bits)]
+    )
+    b2 = sums_bits.select(
+        F.col("doc_id").alias("doc_id_2"), *[F.col(f"bit{i}").alias(f"q{i}") for i in range(bits)]
+    )
+    hamming = sum(
+        F.when(F.col(f"p{i}") != F.col(f"q{i}"), 1).otherwise(0) for i in range(bits)
+    )
+    return (
+        cand.join(b1, on="doc_id_1")
+        .join(b2, on="doc_id_2")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_id_1", "doc_id_2", "hamming")
+    )
+
+
+def simhash_bits(docs: DataFrame, bits: int = 64) -> DataFrame:
+    """Per-doc simhash as individual bit columns (internal)."""
+    tok = (
+        docs.select("doc_id", F.explode(tokens(normalize(F.col("text")))).alias("tok"))
+        .withColumn("h", _portable_hash(F.col("tok"), 0))
+    )
+    sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(bits)
+        ]
+    )
+    return sums.select(
+        "doc_id",
+        *[
+            F.when(F.col(f"s{b}") > 0, F.lit(1)).otherwise(F.lit(0)).alias(f"bit{b}")
+            for b in range(bits)
+        ],
+    )

@@ -1,0 +1,111 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns
+with typed metadata.
+
+The container has no image/audio libraries, so the *decode* step is a
+clearly-marked deterministic fake (see ``FAKE_DECODE``) — but the
+Spark-side plumbing is real and tested: schema, Arrow batch shape,
+``mapInPandas`` partition flow, and the metadata extraction that does
+NOT need decoding (byte length, content hash) runs as pure JVM column
+expressions.
+
+At 100 TB the pattern is: binary payloads stay columnar in parquet;
+narrow metadata is extracted once into sibling columns; per-batch
+Python decoding (the only unavoidable Python) flows through
+``mapInPandas`` with Arrow so each task processes whole record batches.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("media_type", T.StringType()),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("byte_len", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+FAKE_DECODE = True  # real decoders (PIL/ffmpeg) are not in this image
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Fabricate a media table from ``documents``: the text payload as
+    UTF-8 bytes standing in for an encoded image/audio blob."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+    )
+
+
+def media_metadata(media: DataFrame) -> DataFrame:
+    """Decode-free metadata: pure column expressions (JVM-side)."""
+    return media.select(
+        "media_id",
+        "media_type",
+        F.octet_length(F.col("payload")).alias("byte_len"),
+        F.sha2(F.col("payload"), 256).alias("content_sha256"),
+    )
+
+
+def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic stand-in for an image/audio decoder.
+
+    A real implementation would do ``PIL.Image.open(io.BytesIO(b))`` /
+    ``soundfile.read`` here; the fake derives stable pseudo-dimensions
+    from the byte length so tests have exact expectations.
+    """
+    if not FAKE_DECODE:  # pragma: no cover - the real-decoder branch
+        raise NotImplementedError("image/audio decoders not available in this image")
+    blen = pdf["payload"].map(len)
+    return pd.DataFrame(
+        {
+            "media_id": pdf["media_id"],
+            "media_type": pdf["media_type"],
+            "byte_len": blen.astype("int32"),
+            "width": (blen % 640 + 1).astype("int32"),
+            "height": (blen % 480 + 1).astype("int32"),
+            "n_frames": pdf["media_type"].map({"image": 1, "audio": 0}).fillna(24).astype("int32"),
+        }
+    )
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Arrow-batched decode via ``mapInPandas`` — each task receives
+    whole record batches; no per-row Python round-trips."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _fake_decode_batch(pdf)
+
+    return media.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def frame_sample(decoded: DataFrame, every_n: int = 8) -> DataFrame:
+    """Frame-sampling plan for video rows: expand each video into its
+    sampled frame indices (posexplode over a sequence — JVM-side)."""
+    vids = decoded.filter(F.col("media_type") == "video")
+    return vids.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+        ).alias("frame_idx"),
+    )

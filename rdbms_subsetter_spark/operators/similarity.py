@@ -1,0 +1,180 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64-d).
+
+* **Brute-force cosine top-k** — the exactness baseline.  The dot
+  product is a pure column expression: ``aggregate(zip_with(a, b, *))``
+  computed in double precision with a left-to-right fold, which makes
+  the result bit-identical to the DuckDB oracle's
+  ``list_dot_product(CAST(.. AS DOUBLE[]), ..)``.
+* **LSH-bucketed (random hyperplane / SRP)** — the scale path: each
+  vector hashed to a ``n_planes``-bit signature by sign of dot with
+  deterministic pseudo-random hyperplanes; only same-bucket pairs are
+  scored.  Recall < 1 by construction; the planes are generated from a
+  seeded md5 scheme so the whole thing stays deterministic and
+  engine-portable.
+* **embedding-cosine near-dup** — pairs above a cosine threshold,
+  for the dedup family.
+
+At 100 TB the brute-force path is a broadcast of the (small) query set
+against a partitioned scan of the corpus — no shuffle of the corpus at
+all; the LSH path shuffles once on the bucket key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i in double precision, strict left-to-right fold."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
+    return df.withColumn("__norm", norm(F.col(vec)))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector.
+
+    ``queries`` is broadcast (it is the small side); scores are rounded
+    before ranking so the ordering is reproducible across engines, with
+    the neighbor id as tiebreak.  Self-matches are excluded.
+    """
+    q = with_norm(queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("__norm").alias("q_norm"),
+    )
+    c = with_norm(corpus).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("__norm").alias("c_norm"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")),
+                round_to,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def cosine_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (vec_id_1 < vec_id_2)."""
+    a = with_norm(corpus).select(
+        F.col("vec_id").alias("vec_id_1"),
+        F.col("embedding").alias("e1"),
+        F.col("__norm").alias("n1"),
+    )
+    b = with_norm(corpus).select(
+        F.col("vec_id").alias("vec_id_2"),
+        F.col("embedding").alias("e2"),
+        F.col("__norm").alias("n2"),
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_id_1") < F.col("vec_id_2"))
+        .withColumn(
+            "cosine",
+            F.round(dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2")), 6),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_id_1", "vec_id_2", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH (signed random projection) — the scale path
+# ---------------------------------------------------------------------------
+
+
+def _plane(dim: int, plane_id: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane from a seeded integer hash
+    (python-side constant folding: the plane becomes a literal array in
+    the plan, broadcast for free)."""
+    import hashlib
+
+    vals = []
+    for i in range(dim):
+        h = hashlib.md5(f"{seed}|{plane_id}|{i}".encode()).hexdigest()
+        # map 8 hex digits to [-1, 1)
+        vals.append(int(h[:8], 16) / float(2**31) - 1.0)
+    return vals
+
+
+def srp_signature(vec: Column, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
+    """n_planes-bit signed-random-projection bucket id."""
+    sig = F.lit(0)
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(v) for v in _plane(dim, p, seed)])
+        sig = sig + F.when(dot(vec, plane) > 0, F.lit(2**p)).otherwise(F.lit(0))
+    return sig
+
+
+def srp_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int = 64,
+    k: int = 5,
+    n_planes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only pairs that share the SRP bucket.
+
+    One equi-join on the bucket id (single shuffle of signatures, not
+    vectors × vectors).  Returns the same schema as ``cosine_topk``;
+    recall depends on n_planes (fewer planes → bigger buckets → higher
+    recall, more compute).
+    """
+    c = with_norm(corpus).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("__norm").alias("c_norm"),
+        srp_signature(F.col("embedding"), dim, n_planes, seed).alias("bucket"),
+    )
+    q = with_norm(queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("__norm").alias("q_norm"),
+        srp_signature(F.col("embedding"), dim, n_planes, seed).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,117 @@
+"""Text-analysis operators over the ``documents`` table: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+Everything here is a pure column expression (no UDFs): `split`,
+`regexp_*`, `md5`, `aggregate` — all JVM-side, whole-stage-codegen
+friendly, and expressible in ANSI SQL for the DuckDB oracle.  At
+100 TB these are embarrassingly parallel single-pass scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Small stopword lists for the n-gram/stopword language heuristic.
+# Deliberately tiny and hard-coded: the operator is the scoring
+# machinery, not a real langid model.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "es": ["el", "la", "de", "que", "y", "en", "un"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que"],
+    "zh": ["的", "是", "不", "了", "在", "人"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (array<string>)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def word_match_count(text: Column, words: list[str]) -> Column:
+    """How many tokens of *text* are in *words* — via a padded
+    LIKE-free containment trick that stays in codegen:
+    count matches of ``(^| )word( |$)`` style regex, summed.
+    Implemented as size(filter(tokens, t -> t IN words))."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(arr, t)))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    return word_match_count(text, STOPWORDS[lang]) / token_count(text)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are ASCII punctuation."""
+    stripped = F.regexp_replace(text, r"[!-/:-@\[-`{-~]", "")
+    return (F.length(text) - F.length(stripped)) / F.length(text)
+
+
+def mean_token_len(text: Column) -> Column:
+    return (F.length(F.regexp_replace(text, r"\s+", ""))) / token_count(text)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1]-ish quality heuristic: favors mid-length docs,
+    low punctuation, presence of common function words — the standard
+    pretraining-corpus filter shape (length/punct/stopword ratios)."""
+    n_tok = token_count(text)
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    stop_score = F.least(stopword_ratio(text, "en") * 5.0, F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(text) * 4.0)
+    return F.round((len_score + stop_score + punct_pen) / 3.0, 6)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language stopword-hit ratio (the langid feature vector)."""
+    return {
+        lang: F.round(word_match_count(text, words) / token_count(text), 6)
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over ``lang_scores`` with alphabetical tiebreak — a pure
+    greatest/when cascade, no UDF."""
+    scores = lang_scores(text)
+    langs = sorted(scores)  # alphabetical; ties go to the first
+    best = langs[0]
+    expr = F.lit(best)
+    best_score = scores[best]
+    for lang in langs[1:]:
+        expr = F.when(scores[lang] > best_score, F.lit(lang)).otherwise(expr)
+        best_score = F.greatest(best_score, scores[lang])
+    return expr
+
+
+def normalize(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip punctuation,
+    collapse whitespace."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[!-/:-@\[-`{-~]", " ")
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (the reference point for exact-dedup keys)."""
+    return F.md5(normalize(text))
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Per-document stats frame used by the graded queries."""
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        token_count(t).alias("n_tokens"),
+        F.length(t).alias("n_chars_measured"),
+        F.round(mean_token_len(t), 6).alias("mean_token_len"),
+        F.round(stopword_ratio(t, "en"), 6).alias("en_stopword_ratio"),
+        quality_score(t).alias("quality"),
+        fingerprint(t).alias("fp"),
+    )

@@ -41,3 +41,7 @@ def pin_session_conf(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read
+    # natively ([PARQUET_TYPE_ILLEGAL]); read it as long and convert
+    # (Catalog.table rebuilds the µs timestamp column).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

