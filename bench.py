@@ -1,0 +1,87 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is forced end-to-end with a noop sink (full materialization,
+no collect/driver transfer cost).  Streaming queries are timed through
+their memory-sink drive.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# the queries a user of the reference would actually run, plus the
+# heavy extension operators — the per-round scorecard
+HEADLINE = [
+    "subset_summary",
+    "subset_integrity",
+    "child_topk",
+    "agg_pricing_summary",
+    "join_revenue_by_nation",
+    "window_rank_running",
+    "sessionize",
+    "events_hourly",
+    "json_extract_events",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "ann_srp_bucketed",
+    "text_stats",
+    "streaming_hourly",
+]
+
+
+def main() -> None:
+    from rdbms_subsetter_spark.session import get_spark
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("bench")
+    qs = entry_mod.queries()
+
+    # Warm the JVM (whole-stage codegen compiles per operator shape) by
+    # running every headline query once at the smallest SF; the timed
+    # region below then measures steady-state execution at SF_DIR.
+    warm_dir = "/root/testdata/sf0.001"
+    for name in HEADLINE:
+        try:
+            qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -103,57 +103,88 @@ class ClosureEngine:
         """Propagate required keys child→parent until every FK of every
         selected row resolves (reference op #9, set-at-a-time).
 
-        Tables are processed one SCC at a time in children-first order;
-        an SCC with a cycle (incl. self-refs) loops until no new keys
-        appear — guaranteed to terminate because key sets only grow and
-        are bounded by the source tables.
+        Acyclic tables get a purely declarative treatment: each table's
+        final key set is built ONCE as ``distinct(existing ∪ all child
+        contributions)`` in children-first SCC order, so the resulting
+        plan is a shallow tree of semi-joins that Catalyst/AQE optimizes
+        as one unit (broadcasts the small key sides, no driver-side
+        iteration, no materialization).  Only genuine FK cycles (incl.
+        self-refs) fall back to the fixpoint loop, where each iteration
+        anti-joins against already-selected keys (the set equivalent of
+        the reference's ``_exists`` recursion base case) and
+        ``localCheckpoint``s to stop lineage growth.
         """
         exclude = exclude or set()
         keys = dict(keys)
         reg = self.registry
-        # sccs() is parents-first; we need children first
+        # contributions to parent tables not yet processed
+        pending: dict[str, list[DataFrame]] = {}
+
+        def merge(table: str) -> None:
+            contribs = pending.pop(table, [])
+            dfs = ([keys[table]] if table in keys else []) + contribs
+            if not dfs:
+                return
+            merged = dfs[0]
+            for d in dfs[1:]:
+                merged = merged.unionByName(d)
+            keys[table] = merged.distinct() if len(dfs) > 1 else merged
+
+        def emit(table: str, comp_set: set[str]) -> None:
+            """Stash this table's parent-key requirements (outside its
+            own component) for later merging."""
+            rows = self.rows_for_keys(table, keys[table])
+            for fk in reg.parents_of(table):
+                if fk.ref_table in exclude or fk.ref_table in comp_set:
+                    # excluded: reference op #13 [~] — parents pulled
+                    # into excluded tables are not inserted
+                    continue
+                pending.setdefault(fk.ref_table, []).append(
+                    self._required_parent_keys(fk, rows)
+                )
+
+        # sccs() is parents-first; requirements flow child→parent
         for comp in reversed(reg.sccs()):
             comp_set = set(comp)
             cyclic = len(comp) > 1 or any(
                 fk.table == fk.ref_table == comp[0] for fk in reg.fks
             )
-            for _ in range(max_iters if cyclic else 1):
-                grew = False
-                for table in comp:
-                    if table not in keys or table in exclude:
-                        continue
-                    child_rows = self.rows_for_keys(table, keys[table])
-                    for fk in reg.parents_of(table):
-                        if fk.ref_table in exclude:
-                            # reference op #13 [~]: parents pulled into
-                            # excluded tables are not inserted
+            for table in comp:
+                if table not in exclude:
+                    merge(table)
+            if cyclic:
+                for _ in range(max_iters):
+                    grew = False
+                    for table in comp:
+                        if table not in keys or table in exclude:
                             continue
-                        needed = self._required_parent_keys(fk, child_rows)
-                        if fk.ref_table in keys:
-                            new = needed.join(
-                                keys[fk.ref_table],
-                                on=list(needed.columns),
-                                how="left_anti",
-                            )
-                            if cyclic or fk.ref_table in comp_set:
-                                # only pay the count() when termination
-                                # depends on it
-                                new = new.localCheckpoint(eager=True)
+                        rows = self.rows_for_keys(table, keys[table])
+                        for fk in reg.parents_of(table):
+                            if fk.ref_table not in comp_set or fk.ref_table in exclude:
+                                continue
+                            needed = self._required_parent_keys(fk, rows)
+                            if fk.ref_table in keys:
+                                new = needed.join(
+                                    keys[fk.ref_table],
+                                    on=list(needed.columns),
+                                    how="left_anti",
+                                ).localCheckpoint(eager=True)
                                 if new.count() == 0:
                                     continue
-                                grew = grew or fk.ref_table in comp_set
-                            keys[fk.ref_table] = (
-                                keys[fk.ref_table].unionByName(new).distinct()
-                            )
-                        else:
-                            keys[fk.ref_table] = needed
-                            grew = grew or fk.ref_table in comp_set
-                        if cyclic:
-                            keys[fk.ref_table] = keys[fk.ref_table].localCheckpoint(
-                                eager=True
-                            )
-                if not cyclic or not grew:
-                    break
+                                keys[fk.ref_table] = (
+                                    keys[fk.ref_table]
+                                    .unionByName(new)
+                                    .distinct()
+                                    .localCheckpoint(eager=True)
+                                )
+                            else:
+                                keys[fk.ref_table] = needed.localCheckpoint(eager=True)
+                            grew = True
+                    if not grew:
+                        break
+            for table in comp:
+                if table in keys and table not in exclude:
+                    emit(table, comp_set)
         return keys
 
     # ------------------------------------------------------------------
@@ -204,15 +235,19 @@ class ClosureEngine:
         return keys
 
     # ------------------------------------------------------------------
-    def integrity_violations(self, rows: dict[str, DataFrame]) -> dict[str, int]:
+    def integrity_violations_df(self, rows: dict[str, DataFrame]) -> DataFrame:
         """Anti-join check per FK edge: count of child rows whose
         non-null FK values do NOT resolve to a selected parent row.
         All-zero == referential integrity (the reference's core test
-        invariant, SURVEY.md §5a)."""
-        out: dict[str, int] = {}
-        for fk in self.registry.fks:
+        invariant, SURVEY.md §5a).  One lazy union plan — a single
+        Spark job for all edges, not a count() per edge."""
+        parts = []
+        for fk in sorted(
+            self.registry.fks, key=lambda f: (f.table, f.columns, f.ref_table)
+        ):
             if fk.table not in rows or fk.ref_table not in rows:
                 continue
+            edge = f"{fk.table}({','.join(fk.columns)})->{fk.ref_table}"
             child_fkvals = rows[fk.table].select(
                 *[F.col(c).alias(rc) for c, rc in zip(fk.columns, fk.ref_columns)]
             ).na.drop()
@@ -221,8 +256,22 @@ class ClosureEngine:
                 on=list(fk.ref_columns),
                 how="left_anti",
             )
-            out[f"{fk.table}({','.join(fk.columns)})->{fk.ref_table}"] = missing.count()
+            parts.append(
+                missing.agg(F.count(F.lit(1)).alias("violations")).select(
+                    F.lit(edge).alias("fk_edge"), "violations"
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
         return out
+
+    def integrity_violations(self, rows: dict[str, DataFrame]) -> dict[str, int]:
+        """Dict form of :meth:`integrity_violations_df` (one job)."""
+        return {
+            r["fk_edge"]: r["violations"]
+            for r in self.integrity_violations_df(rows).collect()
+        }
 
     # ------------------------------------------------------------------
     def create_subset(

@@ -130,16 +130,31 @@ def _portable_hash(col, salt: int):
     ).cast("long")
 
 
+# Kirsch-Mitzenmacher double hashing: h_i = (h1 + i·h2') mod P, with
+# h1/h2 drawn from ONE md5 per shingle (chars 1-15 / 16-30).  h2 is
+# reduced mod 2^40 so i·h2' stays far from int64 overflow (portable:
+# DuckDB BIGINT raises on overflow, Spark wraps — we avoid both).
+_KM_H2_MOD = 1 << 40
+_KM_P = 1 << 60
+
+
+def _km_hash(i: int, h1, h2):
+    return (h1 + F.lit(i) * (h2 % _KM_H2_MOD)) % _KM_P
+
+
 def minhash_signatures(docs: DataFrame, num_hashes: int = 16, n: int = 3) -> DataFrame:
     """MinHash signature per doc: one column ``mh_i`` per hash function.
 
-    One explode + one groupBy; the k hash functions are computed
-    per-shingle in a single projection (no k-pass scan).
+    One explode + one groupBy; ONE md5 per shingle, with the k hash
+    functions derived by double hashing in the same projection.
     """
     sh = shingles(docs, n)
+    hx = F.md5(F.col("shingle"))
+    h1 = F.conv(F.substring(hx, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(hx, 16, 15), 16, 10).cast("long")
     hashed = sh.select(
         "doc_id",
-        *[_portable_hash(F.col("shingle"), i).alias(f"h{i}") for i in range(num_hashes)],
+        *[_km_hash(i, h1, h2).alias(f"h{i}") for i in range(num_hashes)],
     )
     return hashed.groupBy("doc_id").agg(
         *[F.min(f"h{i}").alias(f"mh{i}") for i in range(num_hashes)]

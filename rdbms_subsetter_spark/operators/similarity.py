@@ -49,31 +49,65 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors of each query vector.
 
-    ``queries`` is broadcast (it is the small side); scores are rounded
-    before ranking so the ordering is reproducible across engines, with
-    the neighbor id as tiebreak.  Self-matches are excluded.
+    The 100 TB design: the (bounded, small) query set is collected and
+    broadcast as a numpy matrix; one Arrow-batched ``mapInPandas`` scan
+    of the corpus computes batch × query scores with BLAS and emits only
+    each batch's local top-(k+slack) per query — so the shuffle carries
+    ~(batches × queries × k) rows instead of corpus × queries.  A final
+    window takes the global top-k, ranking on the *rounded* score with
+    the neighbor id as tiebreak for cross-engine reproducibility.
+    Self-matches are excluded.
     """
-    q = with_norm(queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("__norm").alias("q_norm"),
-    )
-    c = with_norm(corpus).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("__norm").alias("c_norm"),
-    )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cosine",
-            F.round(
-                dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")),
-                round_to,
-            ),
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    q_rows = queries.select("vec_id", "embedding").collect()
+    if not q_rows:
+        empty = corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
         )
+        return empty
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast((q_ids, q_mat, q_norm))
+    slack = k + 8  # survive near-ties at the local-topk boundary
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine_raw", T.DoubleType()),
+        ]
     )
+
+    def scan(batches):
+        ids, mat, nrm = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            c_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
+            scores = (c_mat @ mat.T) / np.outer(c_norm, nrm)  # b × q
+            take = min(slack, len(c_ids))
+            for j in range(len(ids)):
+                col = scores[:, j]
+                # local top-take by (-score, neighbor_id)
+                idx = np.lexsort((c_ids, -col))[:take]
+                sel = idx[c_ids[idx] != ids[j]]
+                yield pd.DataFrame(
+                    {
+                        "query_id": ids[j],
+                        "neighbor_id": c_ids[sel],
+                        "cosine_raw": col[sel],
+                    }
+                )
+
+    local = corpus.select("vec_id", "embedding").mapInPandas(scan, out_schema)
+    scored = local.withColumn("cosine", F.round(F.col("cosine_raw"), round_to))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

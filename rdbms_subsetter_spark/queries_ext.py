@@ -285,8 +285,11 @@ sh AS (
 
 def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
     r = num_hashes // bands
+    # mirror of dedup._km_hash: one md5 per shingle, double hashing
+    h1 = "CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)"
+    h2 = "CAST(('0x' || substr(md5(shingle), 16, 15)) AS BIGINT)"
     hash_cols = ", ".join(
-        f"min(CAST(('0x' || substr(md5('{i}|' || shingle), 1, 15)) AS BIGINT)) AS mh{i}"
+        f"min(({h1} + {i} * ({h2} % 1099511627776)) % 1152921504606846976) AS mh{i}"
         for i in range(num_hashes)
     )
     band_selects = " UNION ALL ".join(
