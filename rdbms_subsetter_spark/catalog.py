@@ -49,8 +49,12 @@ def _fix_nanos_timestamps(df: DataFrame, path: str) -> DataFrame:
     longs under ``spark.sql.legacy.parquet.nanosAsLong`` (the testdata's
     ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark rejects
     natively; values are µs-aligned, so integer division loses nothing)."""
+    spark_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     for name in _nanos_ts_columns(path):
-        df = df.withColumn(name, F.timestamp_micros(F.expr(f"{name} div 1000")))
+        # footer check alone false-positives on INT96 (pyarrow reports
+        # ns) — only rewrite when Spark actually surfaced a raw long
+        if spark_types.get(name) == "bigint":
+            df = df.withColumn(name, F.timestamp_micros(F.expr(f"{name} div 1000")))
     return df
 
 

@@ -65,8 +65,17 @@ class ClosureEngine:
     # ------------------------------------------------------------------
     def rows_for_keys(self, table: str, keys: DataFrame) -> DataFrame:
         """Materialize selected rows: one semi-join per table (AQE
-        broadcasts the key side when small)."""
+        broadcasts the key side when small).
+
+        No-PK tables use whole-row keys, so the keys ARE the rows:
+        return them distinct — which both skips the semi-join and
+        collapses duplicate source rows, mirroring the reference's
+        whole-row ``_exists`` dedup for PK-less tables.
+        """
         kc = list(keys.columns)
+        table_cols = self.catalog.table(table).columns
+        if set(kc) == set(table_cols):
+            return keys.select(*table_cols).distinct()
         return self.catalog.table(table).join(keys, on=kc, how="left_semi")
 
     def _required_parent_keys(
