@@ -21,6 +21,7 @@ if _REPO not in sys.path:
 from rdbms_subsetter_spark import pipeline  # noqa: E402
 from rdbms_subsetter_spark.queries_core import core_oracles, core_queries  # noqa: E402
 from rdbms_subsetter_spark.queries_ext import ext_oracles, ext_queries  # noqa: E402
+from rdbms_subsetter_spark.queries_ext2 import ext2_oracles, ext2_queries  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -32,12 +33,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(core_queries())
     out.update(ext_queries())
+    out.update(ext2_queries())
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
-    for name, sql in {**core_oracles(), **ext_oracles()}.items():
+    for name, sql in {**core_oracles(), **ext_oracles(), **ext2_oracles()}.items():
         if sql is not None:
             out[name] = sql
     return out

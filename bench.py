@@ -40,6 +40,16 @@ HEADLINE = [
     "ann_srp_bucketed",
     "text_stats",
     "streaming_hourly",
+    "asof_join_latest_order",
+    "asof_join_prev_event",
+    "range_join_price_bands",
+    "agg_rollup",
+    "agg_distinct_percentile",
+    "window_lag_lead_ntile",
+    "text_tokenize_bpe",
+    "doc_fingerprint_winnow",
+    "ann_ivf_topk",
+    "streaming_stateful_totals",
 ]
 
 

@@ -117,6 +117,29 @@ def ngram_jaccard_pairs(
     return out
 
 
+def winnow_fingerprints(docs: DataFrame, n: int = 3, k: int = 4) -> DataFrame:
+    """Rolling-hash document fingerprints (winnowing-style bottom-k).
+
+    Each word n-gram is hashed (the shingle hash doubles as a rolling
+    window hash over the token stream); per doc we keep the shingle
+    cardinality, the minimum hash, and the bottom-k sketch — the compact
+    signature used for copy-detection / near-dup triage.  One explode +
+    one groupBy (single shuffle); the per-doc ``collect_list`` is bounded
+    by document length, never by corpus size.
+    """
+    sh = shingles(docs, n)
+    h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
+    return (
+        sh.select("doc_id", h.alias("h"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.min("h").alias("min_hash"),
+            F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("bottom_k"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -141,6 +141,105 @@ def cosine_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95) -> DataFra
 
 
 # ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the clustered scale path
+# ---------------------------------------------------------------------------
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: k-means-partition the corpus, then scan
+    only the ``n_probe`` cells nearest each query.
+
+    The 100 TB shape: centroids are fit on a sample (here: the whole
+    local corpus) and broadcast; cell assignment is one Arrow-batched
+    scan; the probe list is a tiny (query × n_probe) table broadcast
+    into a semi-filtering join, so each query scores ~n_probe/n_clusters
+    of the corpus.  Not SQL-expressible (iterative k-means) → rows-only
+    correctness check; recall is asserted against brute force in unit
+    tests.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import types as T
+
+    train = corpus.select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_clusters, seed=seed, maxIter=20).fit(train)
+    centers = np.array(model.clusterCenters())
+    sc = corpus.sparkSession.sparkContext
+    bc_centers = sc.broadcast(centers)
+
+    assign_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("cell", T.IntegerType()),
+        ]
+    )
+
+    def assign(batches):
+        ctr = bc_centers.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            d2 = ((mat[:, None, :] - ctr[None, :, :]) ** 2).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "cell": d2.argmin(axis=1).astype("int32"),
+                }
+            )
+
+    cells = corpus.select("vec_id", "embedding").mapInPandas(assign, assign_schema)
+
+    q_rows = queries.select("vec_id", "embedding").collect()
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
+    probes = []
+    for row in q_rows:
+        qv = np.array(row["embedding"], dtype=np.float64)
+        d2 = ((centers - qv) ** 2).sum(axis=1)
+        for cell in np.argsort(d2)[:n_probe]:
+            probes.append((row["vec_id"], row["embedding"], int(cell)))
+    probe_df = corpus.sparkSession.createDataFrame(
+        probes, "query_id long, q_emb array<float>, cell int"
+    )
+
+    scored = (
+        cells.join(F.broadcast(probe_df), on="cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                dot(F.col("q_emb"), F.col("embedding"))
+                / (norm(F.col("q_emb")) * norm(F.col("embedding"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # LSH (signed random projection) — the scale path
 # ---------------------------------------------------------------------------
 

@@ -32,6 +32,21 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation —
+# the GPT-2-style regex split that precedes merge rules, restricted to
+# constructs RE2 (DuckDB) and java.util.regex (Spark) treat identically.
+BPE_SPLIT_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_tokens(text: Column) -> Column:
+    """array<string> of BPE-style pre-tokens (codegen regex, no UDF)."""
+    return F.regexp_extract_all(text, F.lit(BPE_SPLIT_RE), 0)
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(bpe_tokens(text))
+
+
 def word_match_count(text: Column, words: list[str]) -> Column:
     """How many tokens of *text* are in *words* — via a padded
     LIKE-free containment trick that stays in codegen:

@@ -1,0 +1,365 @@
+"""Graded queries, part 3: temporal/non-equi joins, multi-level and
+distinct/percentile aggregation, extended window functions, global
+top-k, CSV/JSON source connectors, BPE-style tokenization, winnowing
+fingerprints, IVF ANN, and the extra streaming surface (sessions +
+custom stateful operator).
+
+Same contract as queries_core/queries_ext: identical column aliases on
+both engines, floats rounded on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from rdbms_subsetter_spark.catalog import Catalog
+from rdbms_subsetter_spark.operators import dedup, joins, similarity, text
+from rdbms_subsetter_spark.queries_ext import _shingle_cte
+from rdbms_subsetter_spark.sources import csv_roundtrip, json_roundtrip
+from rdbms_subsetter_spark.streaming import events as streaming_events
+
+# price bands for the range join: p_retailprice spans [900, 1000)
+PRICE_BANDS = [(float(lo), float(lo + 10)) for lo in range(900, 1000, 10)]
+
+
+# ---------------------------------------------------------------------------
+# joins: as-of / range
+# ---------------------------------------------------------------------------
+
+
+def q_asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusive backward as-of: each event gets its user's most recent
+    order at-or-before the event (ties broken by highest o_orderkey)."""
+    cat = Catalog(spark, sf_dir)
+    left = cat["events"].select("event_id", "user_id", "ts")
+    return joins.asof_join(
+        left,
+        cat["orders"],
+        on=[("user_id", "o_custkey")],
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload=["o_orderkey", "o_orderdate"],
+        tiebreak="o_orderkey",
+    )
+
+
+def q_asof_join_prev_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict backward self-as-of: each event gets the user's previous
+    event (true temporal interleaving within the key)."""
+    cat = Catalog(spark, sf_dir)
+    ev = cat["events"]
+    left = ev.select("event_id", "user_id", "ts")
+    right = ev.select(
+        "user_id",
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("prev_event_id"),
+        F.round(F.col("value"), 2).alias("prev_value"),
+    )
+    return joins.asof_join(
+        left,
+        right,
+        on=[("user_id", "user_id")],
+        left_ts="ts",
+        right_ts="r_ts",
+        payload=["prev_event_id", "prev_value"],
+        tiebreak="prev_event_id",
+        strict=True,
+    )
+
+
+def q_range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (range) join: parts bucketed into $10 retail-price bands via
+    a broadcast non-equi join, then aggregated per band."""
+    cat = Catalog(spark, sf_dir)
+    banded = joins.band_join(cat["part"], "p_retailprice", PRICE_BANDS)
+    return banded.groupBy("band_lo").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        F.round(F.sum("p_retailprice"), 2).alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregation: rollup / distinct / percentiles; global top-k
+# ---------------------------------------------------------------------------
+
+
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation: ROLLUP(segment, nation) with grouping id
+    (CUBE/GROUPING SETS are the same Expand operator underneath)."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat["customer"]
+        .rollup("c_mktsegment", "c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
+def q_agg_distinct_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregates + exact interpolated percentiles per flag."""
+    cat = Catalog(spark, sf_dir)
+    li = cat["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.round(F.sum_distinct(F.col("l_quantity")), 2).alias("sum_qty_distinct"),
+        F.round(F.percentile(F.col("l_extendedprice"), F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile(F.col("l_extendedprice"), F.lit(0.9)), 4).alias("p90_price"),
+    )
+
+
+def q_top_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (TakeOrdered: per-partition top-k, then a single
+    driver-side merge of k-sized heads — never a full sort)."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat["orders"]
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# windows: lag / lead / ntile / percent_rank / range frame
+# ---------------------------------------------------------------------------
+
+
+def q_window_lag_lead_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_range = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, Window.currentRow)
+    )
+    return cat["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.sum("o_totalprice").over(w_range), 2).alias("spend_within_1000"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sources: CSV / JSON round-trips
+# ---------------------------------------------------------------------------
+
+
+def q_csv_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer → CSV → read back (explicit schema) → aggregate; the
+    oracle reads the original parquet, so any text-round-trip loss or
+    schema drift breaks the hash."""
+    cat = Catalog(spark, sf_dir)
+    rt = csv_roundtrip(cat["customer"], tag=f"{sf_dir}/customer")
+    return rt.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )
+
+
+def q_json_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events (timestamps included) → JSON lines → read back → aggregate."""
+    cat = Catalog(spark, sf_dir)
+    ev = cat["events"].select("event_id", "ts", "user_id", "event_type", "value")
+    rt = json_roundtrip(ev, tag=f"{sf_dir}/events")
+    return rt.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text / fingerprints / ANN
+# ---------------------------------------------------------------------------
+
+
+def q_text_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenizer counts vs whitespace tokens (fertility)."""
+    cat = Catalog(spark, sf_dir)
+    t = F.col("text")
+    return cat["documents"].select(
+        "doc_id",
+        text.token_count(t).alias("n_ws_tokens"),
+        text.bpe_token_count(t).alias("n_bpe_tokens"),
+        F.round(text.bpe_token_count(t) / text.token_count(t), 6).alias("fertility"),
+    )
+
+
+def q_doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return dedup.winnow_fingerprints(cat["documents"], n=3, k=4)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned ANN (k-means cells, n_probe probing) — rows-only
+    check (iterative k-means is not SQL-expressible); recall vs brute
+    force is asserted in tests/test_operators.py."""
+    cat = Catalog(spark, sf_dir)
+    emb = cat["embeddings"]
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    return similarity.ivf_topk(emb, queries, k=5, n_clusters=16, n_probe=4)
+
+
+# ---------------------------------------------------------------------------
+# streaming: sessions + custom stateful operator
+# ---------------------------------------------------------------------------
+
+
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming_events.streaming_session_counts(spark, sf_dir)
+
+
+def q_streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState running totals; after the bounded replay
+    the final state per user equals the batch aggregate, so this
+    streaming query IS DuckDB-checkable."""
+    return streaming_events.streaming_stateful_totals(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+
+def ext2_queries() -> dict:
+    return {
+        "asof_join_latest_order": q_asof_join_latest_order,
+        "asof_join_prev_event": q_asof_join_prev_event,
+        "range_join_price_bands": q_range_join_price_bands,
+        "agg_rollup": q_agg_rollup,
+        "agg_distinct_percentile": q_agg_distinct_percentile,
+        "top_orders_global": q_top_orders_global,
+        "window_lag_lead_ntile": q_window_lag_lead_ntile,
+        "csv_source_agg": q_csv_source_agg,
+        "json_source_agg": q_json_source_agg,
+        "text_tokenize_bpe": q_text_tokenize_bpe,
+        "doc_fingerprint_winnow": q_doc_fingerprint_winnow,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "streaming_sessions": q_streaming_sessions,
+        "streaming_stateful_totals": q_streaming_stateful_totals,
+    }
+
+
+def _bands_values() -> str:
+    return ", ".join(f"({lo}, {hi})" for lo, hi in PRICE_BANDS)
+
+
+def ext2_oracles() -> dict:
+    return {
+        "asof_join_latest_order": """
+SELECT event_id, user_id, ts, o_orderkey, o_orderdate FROM (
+  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC NULLS LAST,
+                                     o.o_orderkey DESC NULLS LAST) AS rn
+  FROM events e
+  LEFT JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+) WHERE rn = 1
+""",
+        "asof_join_prev_event": """
+SELECT event_id, user_id, ts, prev_event_id, prev_value FROM (
+  SELECT e.event_id, e.user_id, e.ts,
+         p.event_id AS prev_event_id, round(p.value, 2) AS prev_value,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY p.ts DESC NULLS LAST,
+                                     p.event_id DESC NULLS LAST) AS rn
+  FROM events e
+  LEFT JOIN events p ON e.user_id = p.user_id AND p.ts < e.ts
+) WHERE rn = 1
+""",
+        "range_join_price_bands": f"""
+WITH bands(lo, hi) AS (VALUES {_bands_values()})
+SELECT lo AS band_lo,
+       count(*) AS n_parts,
+       round(avg(p_retailprice), 4) AS avg_price,
+       round(sum(p_retailprice), 2) AS sum_price
+FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY lo
+""",
+        "agg_rollup": """
+SELECT c_mktsegment, c_nationkey,
+       count(*) AS n_cust,
+       round(sum(c_acctbal), 2) AS sum_bal,
+       CAST(grouping(c_mktsegment, c_nationkey) AS INT) AS gid
+FROM customer GROUP BY ROLLUP (c_mktsegment, c_nationkey)
+""",
+        "agg_distinct_percentile": """
+SELECT l_returnflag,
+       count(DISTINCT l_suppkey) AS n_supp,
+       count(DISTINCT l_partkey) AS n_part,
+       round(sum(DISTINCT l_quantity), 2) AS sum_qty_distinct,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+FROM lineitem GROUP BY l_returnflag
+""",
+        "top_orders_global": """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+""",
+        "window_lag_lead_ntile": """
+SELECT o_orderkey, o_custkey,
+       round(lag(o_totalprice) OVER w, 2) AS prev_price,
+       round(lead(o_totalprice) OVER w, 2) AS next_price,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+             RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW), 2) AS spend_within_1000
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+        "csv_source_agg": """
+SELECT c_mktsegment,
+       count(*) AS n_cust,
+       round(sum(c_acctbal), 2) AS sum_bal,
+       min(c_custkey) AS min_key,
+       max(c_custkey) AS max_key
+FROM customer GROUP BY c_mktsegment
+""",
+        "json_source_agg": """
+SELECT event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       min(ts) AS first_ts,
+       max(ts) AS last_ts
+FROM events GROUP BY event_type
+""",
+        "text_tokenize_bpe": r"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+       round(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) * 1.0
+             / len(string_split_regex(trim(text), '\s+')), 6) AS fertility
+FROM documents
+""",
+        "doc_fingerprint_winnow": f"""
+WITH {_shingle_cte(3)},
+hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h
+  FROM sh)
+SELECT doc_id,
+       count(*) AS n_shingles,
+       min(h) AS min_hash,
+       list_slice(list_sort(list(h)), 1, 4) AS bottom_k
+FROM hashed GROUP BY doc_id
+""",
+        "ann_ivf_topk": None,  # iterative k-means: rows-only
+        "streaming_sessions": None,  # streaming plan: rows-only
+        "streaming_stateful_totals": """
+SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY user_id
+""",
+    }

@@ -1,0 +1,133 @@
+"""Source/sink surface beyond parquet: CSV, JSON lines, and JDBC.
+
+The reference reads/writes only live RDBMS tables through SQLAlchemy
+(SURVEY.md §2A ops #1, #16).  Our engine's durable format is parquet
+(columnar, predicate-pushdown, footers-as-statistics); CSV/JSON are
+interchange formats, always read with an **explicit schema** — schema
+inference is a full extra pass over the data and is banned at 100 TB.
+
+JDBC is the reference-parity connector for RDBMS sources/sinks; no
+driver jar ships in this environment, so the helpers below validate
+eagerly and raise with the exact spark-submit incantation instead of
+failing mid-job.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """CSV with explicit schema + header; malformed rows fail fast
+    (FAILFAST beats silent NULLs for pipeline inputs)."""
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "FAILFAST")
+        .csv(path)
+    )
+
+
+# full-microsecond timestamps: the default JSON format truncates to
+# milliseconds, which silently loses precision on round-trip
+_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """JSON-lines with explicit schema (one pass, no inference)."""
+    return (
+        spark.read.schema(schema)
+        .option("mode", "FAILFAST")
+        .option("timestampFormat", _TS_FMT)
+        .json(path)
+    )
+
+
+def _scratch_dir(tag: str, *parts: str) -> str:
+    digest = hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"rss_{tag}_{digest}")
+
+
+def csv_roundtrip(df: DataFrame, tag: str) -> DataFrame:
+    """Write *df* as CSV and read it back with the same schema — the
+    source-connector correctness harness (values must survive the text
+    round-trip bit-exactly for the oracle gate)."""
+    out = _scratch_dir("csv", tag)
+    df.write.mode("overwrite").option("header", True).csv(out)
+    return read_csv(df.sparkSession, out, df.schema)
+
+
+def json_roundtrip(df: DataFrame, tag: str) -> DataFrame:
+    """Write *df* as JSON lines and read it back with the same schema."""
+    out = _scratch_dir("json", tag)
+    df.write.mode("overwrite").option("timestampFormat", _TS_FMT).json(out)
+    return read_json(df.sparkSession, out, df.schema)
+
+
+_JDBC_HELP = (
+    "no JDBC driver jar is available in this environment; launch with "
+    "spark-submit --jars <driver.jar> (e.g. postgresql.jar) and retry"
+)
+
+
+def _check_jdbc(spark: SparkSession, driver: str) -> None:
+    try:
+        spark._jvm.java.lang.Class.forName(driver)  # type: ignore[union-attr]
+    except Exception as exc:  # pragma: no cover - env without driver
+        raise NotImplementedError(f"{_JDBC_HELP} (driver {driver}: {exc})") from exc
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    driver: str = "org.postgresql.Driver",
+    partition_column: str | None = None,
+    num_partitions: int = 32,
+    **options: str,
+) -> DataFrame:
+    """Parallel JDBC scan.  ``partition_column`` (a numeric PK) splits
+    the read into ``num_partitions`` range queries — without it the scan
+    is a single connection, which is never acceptable at scale."""
+    _check_jdbc(spark, driver)
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        bounds = spark.read.format("jdbc").option("url", url).option(
+            "query", f"SELECT min({partition_column}) lo, max({partition_column}) hi FROM {table}"
+        ).load().collect()[0]
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(bounds["lo"]))
+            .option("upperBound", str(bounds["hi"]))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    driver: str = "org.postgresql.Driver",
+    mode: str = "append",
+    batch_size: int = 10_000,
+) -> None:
+    """Batched JDBC sink (the reference's per-row ``insert()`` op #16,
+    set-at-a-time; destination constraints require topo-ordered calls,
+    see ``writer.write_subset``)."""
+    _check_jdbc(df.sparkSession, driver)
+    (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batch_size))
+        .mode(mode)
+        .save()
+    )

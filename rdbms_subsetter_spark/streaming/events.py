@@ -102,6 +102,61 @@ def run_stream_to_memory(
     return spark.sql(f"SELECT * FROM {name}")
 
 
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running event count + value sum
+    via ``applyInPandasWithState`` (Arrow-batched, state in the store —
+    the pattern for any accumulator Spark's built-in aggs can't express).
+    Emits the updated running totals for each user touched by a batch.
+    """
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(total, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end native session windows over the replayed event stream
+    (append mode: sessions emit once the watermark passes their gap)."""
+    out = run_stream_to_memory(
+        spark,
+        session_windows(events_stream(spark, sf_dir)),
+        name="stream_session_counts",
+        output_mode="append",
+    )
+    return out.orderBy("session_start", "user_id")
+
+
+def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end custom stateful operator run: final running totals per
+    user after the bounded replay (update mode → keep each user's last
+    emission)."""
+    out = run_stream_to_memory(
+        spark,
+        stateful_user_totals(events_stream(spark, sf_dir)),
+        name="stream_stateful_totals",
+        output_mode="update",
+    )
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("sum_value").alias("sum_value"),
+    )
+
+
 def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end streaming query: replay events, watermark, tumbling
     hourly agg, memory sink.  Returned as a static DataFrame so the

@@ -1,0 +1,108 @@
+"""Unit tests for the non-SQL-checkable operator properties: as-of join
+semantics on a hand-built fixture, band-join edge behavior, IVF recall
+vs the brute-force baseline, and stateful-streaming == batch-agg
+equivalence.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from rdbms_subsetter_spark.operators import joins, similarity
+
+
+def ts(m: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, m)
+
+
+def test_asof_inclusive_backward(spark):
+    left = spark.createDataFrame(
+        [(1, "a", ts(5)), (2, "a", ts(10)), (3, "b", ts(5)), (4, "c", ts(5))],
+        "id long, k string, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, "a", ts(5)), (101, "a", ts(7)), (102, "b", ts(6))],
+        "rid long, k string, rt timestamp",
+    )
+    out = joins.asof_join(
+        left, right, on=[("k", "k")], left_ts="t", right_ts="rt",
+        payload=["rid"], tiebreak="rid",
+    )
+    got = {r["id"]: r["rid"] for r in out.collect()}
+    # id=1: rt==t inclusive -> 100; id=2: latest before -> 101
+    # id=3: right row is later -> NULL; id=4: no right rows -> NULL
+    assert got == {1: 100, 2: 101, 3: None, 4: None}
+    assert out.count() == 4  # left-outer: no fan-out, no loss
+
+
+def test_asof_strict_and_ties(spark):
+    left = spark.createDataFrame([(1, "a", ts(5))], "id long, k string, t timestamp")
+    right = spark.createDataFrame(
+        [(100, "a", ts(5)), (101, "a", ts(3)), (102, "a", ts(3))],
+        "rid long, k string, rt timestamp",
+    )
+    strict = joins.asof_join(
+        left, right, on=[("k", "k")], left_ts="t", right_ts="rt",
+        payload=["rid"], tiebreak="rid", strict=True,
+    )
+    # equal-ts row excluded; tie at ts(3) -> highest tiebreak wins
+    assert strict.collect()[0]["rid"] == 102
+    incl = joins.asof_join(
+        left, right, on=[("k", "k")], left_ts="t", right_ts="rt",
+        payload=["rid"], tiebreak="rid",
+    )
+    assert incl.collect()[0]["rid"] == 100
+
+
+def test_band_join_edges(spark):
+    fact = spark.createDataFrame(
+        [(1, 10.0), (2, 19.999), (3, 20.0), (4, 5.0)], "id long, v double"
+    )
+    out = joins.band_join(fact, "v", [(10.0, 20.0), (20.0, 30.0)])
+    got = {r["id"]: r["band_lo"] for r in out.collect()}
+    # lo inclusive, hi exclusive; v=5 outside every band -> dropped
+    assert got == {1: 10.0, 2: 10.0, 3: 20.0}
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    import random
+
+    random.seed(7)
+    rows = [(i, [random.gauss(0, 1) for _ in range(16)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    exact = similarity.cosine_topk(emb, queries, k=5)
+    approx = similarity.ivf_topk(emb, queries, k=5, n_clusters=8, n_probe=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # every approx hit must carry the exact cosine for that pair
+    exact_all = similarity.cosine_topk(emb, queries, k=200)
+    cos = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact_all.collect()}
+    for r in approx.collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in cos:
+            assert abs(cos[key] - r["cosine"]) < 1e-9
+
+
+def test_stateful_streaming_equals_batch(spark, tmp_path):
+    from rdbms_subsetter_spark.streaming import events as se
+
+    src = spark.createDataFrame(
+        [(i, ts(i % 50), i % 3, "t", float(i)) for i in range(60)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    path = str(tmp_path / "events.parquet")
+    src.coalesce(2).write.parquet(path)
+    out = se.streaming_stateful_totals(spark, str(tmp_path))
+    got = {r["user_id"]: (r["n_events"], r["sum_value"]) for r in out.collect()}
+    exp = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in src.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .collect()
+    }
+    assert got == exp
