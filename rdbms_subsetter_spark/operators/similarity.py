@@ -145,6 +145,26 @@ def cosine_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95) -> DataFra
 # ---------------------------------------------------------------------------
 
 
+def _lloyd_kmeans(sample, k: int, iters: int = 10, seed: int = 42):
+    """Plain seeded Lloyd's k-means over a driver-side sample (numpy).
+    Empty clusters are re-seeded from the point farthest from its
+    centroid, keeping exactly k non-degenerate cells."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    centers = sample[rng.choice(len(sample), size=min(k, len(sample)), replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(centers)):
+            members = sample[assign == c]
+            if len(members):
+                centers[c] = members.mean(axis=0)
+            else:
+                centers[c] = sample[d2.min(axis=1).argmax()]
+    return centers
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -166,15 +186,18 @@ def ivf_topk(
     """
     import numpy as np
     import pandas as pd
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
     from pyspark.sql import types as T
 
-    train = corpus.select(
-        array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    # Centroids are fit DRIVER-SIDE on a bounded sample (the faiss/IVF
+    # convention): at 100 TB, k-means over the full corpus is pointless —
+    # centroid positions converge on a few thousand points — and a
+    # distributed fit pays one scheduler round-trip per Lloyd iteration.
+    # numpy on ≤4096×dim is microseconds and fully deterministic.
+    sample = np.array(
+        [r["embedding"] for r in corpus.select("embedding").limit(4096).collect()],
+        dtype=np.float64,
     )
-    model = KMeans(k=n_clusters, seed=seed, maxIter=20).fit(train)
-    centers = np.array(model.clusterCenters())
+    centers = _lloyd_kmeans(sample, k=n_clusters, iters=10, seed=seed)
     sc = corpus.sparkSession.sparkContext
     bc_centers = sc.broadcast(centers)
 

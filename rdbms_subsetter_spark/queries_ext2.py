@@ -100,16 +100,27 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_agg_distinct_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct aggregates + exact interpolated percentiles per flag."""
+    """Distinct aggregates + exact interpolated percentiles per flag.
+
+    Deliberately TWO aggregations joined on the tiny group key instead
+    of one: mixing percentile() into the distinct-agg Expand makes Spark
+    keep a percentile buffer per expanded (flag, distinct-value) row
+    (measured 2.4M buffers at sf0.1, ~6 s); split, the distinct branch
+    stays in codegen HashAggregate and percentile buffers exist only per
+    flag (3 groups).  The join is a broadcast of a 3-row side.
+    """
     cat = Catalog(spark, sf_dir)
     li = cat["lineitem"]
-    return li.groupBy("l_returnflag").agg(
+    distincts = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
         F.countDistinct("l_partkey").alias("n_part"),
         F.round(F.sum_distinct(F.col("l_quantity")), 2).alias("sum_qty_distinct"),
+    )
+    pcts = li.groupBy("l_returnflag").agg(
         F.round(F.percentile(F.col("l_extendedprice"), F.lit(0.5)), 4).alias("median_price"),
         F.round(F.percentile(F.col("l_extendedprice"), F.lit(0.9)), 4).alias("p90_price"),
     )
+    return distincts.join(F.broadcast(pcts), on="l_returnflag")
 
 
 def q_top_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
