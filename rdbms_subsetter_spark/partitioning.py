@@ -1,0 +1,123 @@
+"""Partitioning strategies for the 100 TB path: bucketed co-located
+joins, partitioned layouts, and salt-based skew handling.
+
+The reference never faces these problems (row-at-a-time over JDBC);
+they are the core of making the same semantics hold at cluster scale:
+
+* **bucketing** — write both sides of a recurring equi-join bucketed by
+  the join key; Spark then sort-merge-joins bucket-to-bucket with ZERO
+  shuffle of either side (verified by plan assertion in
+  tests/test_scale_plans.py).  This is how orders⋈lineitem should be
+  laid out for a workload that joins them every run.
+* **partitioned layout** — directory partitioning by a low-cardinality
+  column gives free partition pruning for predicates on that column.
+* **salting** — a skewed group/window key (one parent with millions of
+  children) serializes into one task.  Salted two-phase top-k bounds
+  every task at (k × salt) candidate rows per hot key.  AQE's skew-join
+  splitting handles *joins*; windows get no such help, so the salt is
+  explicit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+
+# ---------------------------------------------------------------------------
+# bucketed / partitioned layouts
+# ---------------------------------------------------------------------------
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist *df* as a bucketed (+ sorted) managed parquet table.
+    Joins/aggregations on ``bucket_cols`` between tables bucketed with
+    the same ``n_buckets`` require no shuffle at read time."""
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Directory-partitioned parquet: predicates on ``partition_cols``
+    prune whole directories before any IO."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: list[str], how: str = "inner"
+) -> DataFrame:
+    """Join two same-bucketed tables on the bucket key (shuffle-free)."""
+    return spark.table(left_table).join(spark.table(right_table), on=on, how=how)
+
+
+# ---------------------------------------------------------------------------
+# skew salting
+# ---------------------------------------------------------------------------
+
+
+def salted_topk(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[str],
+    k: int,
+    salt: int = 16,
+) -> DataFrame:
+    """Per-group top-k that survives heavy key skew.
+
+    Phase 1: each row gets a deterministic salt (hash of the full order
+    tuple, NOT random — reproducible), and a local top-k runs per
+    (group, salt) slice; a hot key's rows spread over ``salt`` tasks.
+    Phase 2: the survivors (≤ k·salt per group) go through the exact
+    top-k.  Results are identical to the unsalted window — only the
+    plan changes.
+    """
+    salt_col = F.pmod(F.hash(*[F.col(c) for c in order_cols]), F.lit(salt))
+    w_local = Window.partitionBy(*partition_cols, "__salt").orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    w_final = Window.partitionBy(*partition_cols).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    return (
+        df.withColumn("__salt", salt_col)
+        .withColumn("__rn", F.row_number().over(w_local))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+        .withColumn("__rn", F.row_number().over(w_final))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__salt")
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    sum_cols: dict[str, str],
+    salt: int = 16,
+) -> DataFrame:
+    """Two-phase sum/count aggregation under key skew: partial agg on
+    (group, salt), final agg on group.  For algebraic aggregates Spark's
+    own map-side partials usually suffice; the explicit salt matters when
+    the *reduce* side of one key outgrows a task (e.g. exact distinct
+    counting downstream).  ``sum_cols`` maps input col -> output alias.
+    """
+    salted = df.withColumn("__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt)))
+    partial = salted.groupBy(*group_cols, "__salt").agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(c).alias(f"__s_{c}") for c in sum_cols],
+    )
+    return partial.groupBy(*group_cols).agg(
+        F.sum("__n").alias("n_rows"),
+        *[F.sum(f"__s_{c}").alias(alias) for c, alias in sum_cols.items()],
+    )

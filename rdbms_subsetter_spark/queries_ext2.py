@@ -225,6 +225,30 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# UDF surface: grouped pandas + UDTF
+# ---------------------------------------------------------------------------
+
+
+def q_udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped applyInPandas (Arrow-batched) z-score per event type."""
+    from rdbms_subsetter_spark.functions import grouped_zscore
+
+    cat = Catalog(spark, sf_dir)
+    ev = cat["events"].select("event_id", "event_type", "value")
+    return grouped_zscore(ev, "event_type", "value").select(
+        "event_id", "event_type", F.round(F.col("zscore"), 6).alias("zscore")
+    )
+
+
+def q_udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (lateral join) exploding documents into sentences."""
+    from rdbms_subsetter_spark.functions import sentence_split_udtf
+
+    cat = Catalog(spark, sf_dir)
+    return sentence_split_udtf(cat["documents"])
+
+
+# ---------------------------------------------------------------------------
 # streaming: sessions + custom stateful operator
 # ---------------------------------------------------------------------------
 
@@ -259,6 +283,8 @@ def ext2_queries() -> dict:
         "text_tokenize_bpe": q_text_tokenize_bpe,
         "doc_fingerprint_winnow": q_doc_fingerprint_winnow,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "udf_grouped_zscore": q_udf_grouped_zscore,
+        "udtf_sentence_split": q_udtf_sentence_split,
         "streaming_sessions": q_streaming_sessions,
         "streaming_stateful_totals": q_streaming_stateful_totals,
     }
@@ -368,6 +394,24 @@ SELECT doc_id,
 FROM hashed GROUP BY doc_id
 """,
         "ann_ivf_topk": None,  # iterative k-means: rows-only
+        "udf_grouped_zscore": """
+SELECT event_id, event_type,
+       round((value - avg(value) OVER w) / stddev_pop(value) OVER w, 6) AS zscore
+FROM events
+WINDOW w AS (PARTITION BY event_type)
+""",
+        "udtf_sentence_split": """
+WITH s AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, '.'),
+                                    x -> trim(x, ' ' || chr(9) || chr(10) || chr(13))),
+                     x -> x <> '') AS l
+  FROM documents)
+SELECT doc_id,
+       CAST(i AS INT) AS sentence_idx,
+       l[CAST(i AS INT)] AS sentence
+FROM s, unnest(range(1, len(l) + 1)) AS t(i)
+""",
         "streaming_sessions": None,  # streaming plan: rows-only
         "streaming_stateful_totals": """
 SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value

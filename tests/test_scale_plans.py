@@ -1,0 +1,135 @@
+"""Plan-shape assertions: the scale contracts that value-equality tests
+can't see.  A query that still returns the right rows but starts
+shuffling where it shouldn't fails HERE.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdbms_subsetter_spark import partitioning
+from rdbms_subsetter_spark.catalog import Catalog
+from rdbms_subsetter_spark.plans import (
+    count_exchanges,
+    has_broadcast_hash_join,
+    physical_plan,
+    pushed_filters,
+    wholestage_codegen_spans,
+)
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def cat(spark):
+    return Catalog(spark, SF_SMALL)
+
+
+def test_filter_pushdown_reaches_parquet(cat):
+    df = cat["customer"].filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_nationkey") == 5)
+    ).select("c_custkey")
+    pushed = " ".join(pushed_filters(df))
+    assert "c_mktsegment" in pushed and "c_nationkey" in pushed
+    # column pruning: scan must read only the 3 referenced columns
+    plan = physical_plan(df, "formatted")
+    assert "ReadSchema: struct<c_custkey:bigint,c_nationkey:int,c_mktsegment:string>" in plan
+
+
+def test_small_dim_join_broadcasts(cat):
+    df = cat["customer"].join(
+        F.broadcast(cat["nation"]), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    assert has_broadcast_hash_join(df)
+    assert count_exchanges(df) == 0  # broadcast join: zero shuffles
+
+
+def test_agg_is_single_shuffle_with_partials(cat):
+    df = cat["lineitem"].groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    assert count_exchanges(df) == 1
+    plan = physical_plan(df, "simple")
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+    assert wholestage_codegen_spans(df) >= 1
+
+
+def test_bucketed_join_requires_no_shuffle(spark, cat, tmp_path):
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    try:
+        partitioning.write_bucketed(
+            cat["orders"], "orders_b", ["o_orderkey"], n_buckets=8, sort_cols=["o_orderkey"]
+        )
+        partitioning.write_bucketed(
+            cat["lineitem"], "lineitem_b", ["l_orderkey"], n_buckets=8
+        )
+        joined = spark.table("orders_b").join(
+            spark.table("lineitem_b"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        assert count_exchanges(joined) == 0, physical_plan(joined, "simple")
+        # and it still returns every lineitem match
+        assert joined.count() == cat["lineitem"].join(
+            cat["orders"], F.col("o_orderkey") == F.col("l_orderkey")
+        ).count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_partitioned_layout_prunes(spark, cat, tmp_path):
+    path = str(tmp_path / "orders_p")
+    partitioning.write_partitioned(cat["orders"], path, ["o_orderstatus"])
+    df = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    plan = physical_plan(df, "formatted")
+    # partition filter, not a data filter: pruned before IO
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+
+
+def test_salted_topk_matches_unsalted(cat):
+    from pyspark.sql import Window
+
+    li = cat["lineitem"]
+    order_cols = ["l_extendedprice", "l_partkey", "l_suppkey", "l_linenumber"]
+    w = Window.partitionBy("l_orderkey").orderBy(*order_cols)
+    plain = (
+        li.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2).drop("rn")
+    )
+    salted = partitioning.salted_topk(li, ["l_orderkey"], order_cols, k=2, salt=4)
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_salted_agg_matches_plain(cat):
+    li = cat["lineitem"]
+    plain = {
+        r["l_returnflag"]: (r["n"], round(r["s"], 2))
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("s"))
+        .collect()
+    }
+    salted = {
+        r["l_returnflag"]: (r["n_rows"], round(r["sum_qty"], 2))
+        for r in partitioning.salted_agg(
+            li, ["l_returnflag"], {"l_quantity": "sum_qty"}, salt=8
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_asof_join_single_shuffle(cat):
+    from rdbms_subsetter_spark.operators import joins
+
+    left = cat["events"].select("event_id", "user_id", "ts")
+    out = joins.asof_join(
+        left,
+        cat["orders"],
+        on=[("user_id", "o_custkey")],
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload=["o_orderkey"],
+        tiebreak="o_orderkey",
+    )
+    # union + one window sort: at most one shuffle of the combined rows,
+    # never a join fan-out
+    assert count_exchanges(out) <= 1, physical_plan(out, "simple")
