@@ -50,6 +50,11 @@ HEADLINE = [
     "doc_fingerprint_winnow",
     "ann_ivf_topk",
     "streaming_stateful_totals",
+    "events_sliding",
+    "agg_pivot",
+    "multimodal_features",
+    "udf_grouped_zscore",
+    "udtf_sentence_split",
 ]
 
 

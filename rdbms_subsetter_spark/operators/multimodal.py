@@ -99,6 +99,81 @@ def decode_media(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized_w", T.IntegerType()),
+        T.StructField("resized_h", T.IntegerType()),
+    ]
+)
+
+
+def decode_and_resize(media: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """Decode + aspect-preserving downscale plan in ONE ``mapInPandas``
+    pass (never decode twice).  A real implementation resizes pixel
+    buffers here; the fake computes the exact output geometry a real
+    resizer would use (scale = min(tw/w, th/h, 1), floor, ≥1) so the
+    arithmetic is oracle-checkable."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            d = _fake_decode_batch(pdf)
+            w = d["width"].to_numpy(dtype=np.float64)
+            h = d["height"].to_numpy(dtype=np.float64)
+            scale = np.minimum(np.minimum(target_w / w, target_h / h), 1.0)
+            d["resized_w"] = np.maximum(np.floor(w * scale), 1).astype("int32")
+            d["resized_h"] = np.maximum(np.floor(h * scale), 1).astype("int32")
+            yield d[[f.name for f in RESIZED_SCHEMA.fields]]
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Feature extraction over binary payloads via ``mapInPandas``.
+
+    Stand-in embedding: ``FEATURE_DIM`` floats from the payload's md5
+    bytes (a real model would run an ONNX/torch encoder per Arrow
+    batch).  md5-derived on purpose — bit-identical in any engine, so
+    even the stub path is DuckDB-checkable.
+    """
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                [
+                    round(int(h[2 * j : 2 * j + 2], 16) / 255.0, 6)
+                    for j in range(FEATURE_DIM)
+                ]
+                for h in (hashlib.md5(b).hexdigest() for b in pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
 def frame_sample(decoded: DataFrame, every_n: int = 8) -> DataFrame:
     """Frame-sampling plan for video rows: expand each video into its
     sampled frame indices (posexplode over a sequence — JVM-side)."""

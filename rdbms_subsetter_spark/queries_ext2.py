@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from rdbms_subsetter_spark.catalog import Catalog
-from rdbms_subsetter_spark.operators import dedup, joins, similarity, text
+from rdbms_subsetter_spark.operators import dedup, joins, multimodal, similarity, text
 from rdbms_subsetter_spark.queries_ext import _shingle_cte
 from rdbms_subsetter_spark.sources import csv_roundtrip, json_roundtrip
 from rdbms_subsetter_spark.streaming import events as streaming_events
@@ -225,6 +225,77 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# sliding windows / pivot / array surface / multimodal depth
+# ---------------------------------------------------------------------------
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding windows (1h window, 30min slide): each event
+    lands in exactly two windows (Expand ×2, one shuffle)."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat["events"]
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: revenue by returnflag × linestatus as columns."""
+    cat = Catalog(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    piv = (
+        cat["lineitem"]
+        .withColumn("rev", rev)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("rev"), 2))
+    )
+    return piv.select(
+        "l_returnflag",
+        F.col("F").alias("rev_f"),
+        F.col("O").alias("rev_o"),
+    )
+
+
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface over embeddings (transform / aggregate /
+    min / max / slice — all codegen, no UDF)."""
+    from rdbms_subsetter_spark.operators.similarity import dot
+
+    cat = Catalog(spark, sf_dir)
+    e = F.col("embedding")
+    return cat["embeddings"].select(
+        "vec_id",
+        F.size(e).alias("dim"),
+        F.round(F.sqrt(dot(e, e)), 6).alias("l2_norm"),
+        F.round(F.array_min(e).cast("double"), 6).alias("min_val"),
+        F.round(F.array_max(e).cast("double"), 6).alias("max_val"),
+        F.round(
+            F.aggregate(e, F.lit(0.0), lambda a, x: a + x.cast("double")) / F.size(e), 6
+        ).alias("mean_val"),
+    )
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass decode+resize geometry via mapInPandas."""
+    cat = Catalog(spark, sf_dir)
+    return multimodal.decode_and_resize(
+        multimodal.media_from_documents(cat["documents"]), 224, 224
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction (md5-derived stub embedding)."""
+    cat = Catalog(spark, sf_dir)
+    return multimodal.extract_features(multimodal.media_from_documents(cat["documents"]))
+
+
+# ---------------------------------------------------------------------------
 # UDF surface: grouped pandas + UDTF
 # ---------------------------------------------------------------------------
 
@@ -283,6 +354,11 @@ def ext2_queries() -> dict:
         "text_tokenize_bpe": q_text_tokenize_bpe,
         "doc_fingerprint_winnow": q_doc_fingerprint_winnow,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "events_sliding": q_events_sliding,
+        "agg_pivot": q_agg_pivot,
+        "array_functions": q_array_functions,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_features": q_multimodal_features,
         "udf_grouped_zscore": q_udf_grouped_zscore,
         "udtf_sentence_split": q_udtf_sentence_split,
         "streaming_sessions": q_streaming_sessions,
@@ -394,6 +470,54 @@ SELECT doc_id,
 FROM hashed GROUP BY doc_id
 """,
         "ann_ivf_topk": None,  # iterative k-means: rows-only
+        "events_sliding": """
+SELECT ws AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM (SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' * k AS ws,
+             event_type, value
+      FROM events, unnest([0, 1]) AS t(k))
+GROUP BY ws, event_type
+""",
+        "agg_pivot": """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice * (1 - l_discount) END), 2) AS rev_f,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice * (1 - l_discount) END), 2) AS rev_o
+FROM lineitem GROUP BY l_returnflag
+""",
+        "array_functions": """
+SELECT vec_id,
+       CAST(len(embedding) AS INT) AS dim,
+       round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS l2_norm,
+       round(CAST(list_min(embedding) AS DOUBLE), 6) AS min_val,
+       round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val,
+       round(list_sum(CAST(embedding AS DOUBLE[])) / len(embedding), 6) AS mean_val
+FROM embeddings
+""",
+        "multimodal_resize": """
+WITH d AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+         CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height
+  FROM documents)
+SELECT media_id, media_type, width, height,
+       CAST(greatest(floor(width * least(224.0 / width, 224.0 / height, 1.0)), 1) AS INT) AS resized_w,
+       CAST(greatest(floor(height * least(224.0 / width, 224.0 / height, 1.0)), 1) AS INT) AS resized_h
+FROM d
+""",
+        "multimodal_features": f"""
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       [{", ".join(
+           f"round(CAST(('0x' || substr(md5(text), {2 * j + 1}, 2)) AS INT) / 255.0, 6)"
+           for j in range(8)
+       )}] AS features
+FROM documents
+""",
         "udf_grouped_zscore": """
 SELECT event_id, event_type,
        round((value - avg(value) OVER w) / stddev_pop(value) OVER w, 6) AS zscore
