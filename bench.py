@@ -28,6 +28,7 @@ HEADLINE = [
     "child_topk",
     "agg_pricing_summary",
     "join_revenue_by_nation",
+    "join_topk_unshipped",
     "window_rank_running",
     "sessionize",
     "events_hourly",

@@ -123,6 +123,27 @@ def q_agg_distinct_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distincts.join(F.broadcast(pcts), on="l_returnflag")
 
 
+def q_join_topk_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped composite: selective filters on all three tables
+    (pushed to the parquet scans), 3-way join, agg, global top-10.
+    The plan to want: filters in PushedFilters, customer broadcast,
+    one shuffle for the lineitem⋈orders join, TakeOrdered final."""
+    cat = Catalog(spark, sf_dir)
+    cutoff = "1998-06-01"
+    cust = cat["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    orders = cat["orders"].filter(F.col("o_orderdate") < cutoff)
+    li = cat["lineitem"].filter(F.col("l_shipdate") > cutoff)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
 def q_top_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k (TakeOrdered: per-partition top-k, then a single
     driver-side merge of k-sized heads — never a full sort)."""
@@ -347,6 +368,7 @@ def ext2_queries() -> dict:
         "range_join_price_bands": q_range_join_price_bands,
         "agg_rollup": q_agg_rollup,
         "agg_distinct_percentile": q_agg_distinct_percentile,
+        "join_topk_unshipped": q_join_topk_unshipped,
         "top_orders_global": q_top_orders_global,
         "window_lag_lead_ntile": q_window_lag_lead_ntile,
         "csv_source_agg": q_csv_source_agg,
@@ -417,6 +439,18 @@ SELECT l_returnflag,
        round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
        round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
 FROM lineitem GROUP BY l_returnflag
+""",
+        "join_topk_unshipped": """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
 """,
         "top_orders_global": """
 SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
