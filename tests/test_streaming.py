@@ -1,0 +1,69 @@
+"""Streaming semantics: watermark late-data dropping across triggers,
+and session-window emission on a bounded replay.
+
+Watermark subtlety (verified empirically, matches Spark's contract):
+a late row that arrives while its window's state is STILL LIVE (the
+watermark passed the window end only in the same micro-batch) is merged
+— the watermark finalizes results at state eviction, it is not a strict
+input filter.  A row arriving AFTER its window was evicted is dropped.
+The tests below stage three files so the drop actually manifests.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import time
+
+from rdbms_subsetter_spark.streaming import events as se
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).coalesce(1).write.mode("append").parquet(path)
+    time.sleep(1.05)  # distinct mtimes → deterministic trigger order
+
+
+def test_watermark_drops_rows_behind_evicted_state(spark, tmp_path):
+    path = str(tmp_path / "events.parquet")
+    t = dt.datetime(2024, 1, 1, 0, 0)
+    h = dt.timedelta(hours=1)
+    # batch 0: hours 0..5 → watermark after commit = 04:00
+    _write_batch(spark, path, [(i, t + i * h, 1, "a", 1.0) for i in range(6)])
+    # batch 1: hour 6 → windows 0..3 evicted+emitted, wm → 05:00
+    _write_batch(spark, path, [(50, t + 6 * h, 1, "a", 1.0)])
+    # batch 2: VERY late row for hour 0 — state is gone → dropped
+    _write_batch(spark, path, [(100, t, 1, "a", 100.0)])
+
+    agg = se.hourly_agg(se.events_stream(spark, str(tmp_path)), watermark="1 hour")
+    out = se.run_stream_to_memory(spark, agg, "wm_drop_test", output_mode="append")
+    got = {r["hour_start"]: r["sum_value"] for r in out.collect()}
+    assert got[t] == 1.0, got  # late 100.0 did NOT resurrect hour 0
+    assert all(v < 100 for v in got.values()), got
+
+
+def test_session_windows_emitted_after_watermark(spark, tmp_path):
+    path = str(tmp_path / "events.parquet")
+    t = dt.datetime(2024, 1, 1, 0, 0)
+    m = dt.timedelta(minutes=1)
+    # user 1: two sessions separated by >30min; user 2: one session
+    _write_batch(
+        spark, path,
+        [(1, t, 1, "a", 1.0), (2, t + 5 * m, 1, "a", 1.0),
+         (3, t + 50 * m, 1, "a", 1.0), (4, t + 2 * m, 2, "a", 1.0)],
+    )
+    # advance the watermark far enough to close and emit every session
+    _write_batch(spark, path, [(99, t + 300 * m, 3, "a", 1.0)])
+
+    out = se.streaming_session_counts(spark, str(tmp_path))
+    got = {(r["user_id"], r["n_events"]) for r in out.collect()}
+    assert (1, 2) in got, got   # first session of user 1: events 1+2
+    assert (1, 1) in got, got   # second session of user 1: event 3
+    assert (2, 1) in got, got   # user 2's single session
+    # session boundary correctness: the 2-event session spans t..t+5m+gap
+    sess = {
+        (r["user_id"], r["n_events"]): (r["session_start"], r["session_end"])
+        for r in out.collect()
+    }
+    start, end = sess[(1, 2)]
+    assert start == t and end == t + 35 * m  # last event + 30min gap
