@@ -144,6 +144,33 @@ def q_join_topk_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STRATA_RATES = {"BUILDING": 50, "MACHINERY": 20, "AUTOMOBILE": 5}
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample of customers (per-segment rates)."""
+    from rdbms_subsetter_spark.sampling import sample_stratified_modulo
+
+    cat = Catalog(spark, sf_dir)
+    return sample_stratified_modulo(cat["customer"], "c_custkey", "c_mktsegment", STRATA_RATES)
+
+
+def q_agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates (HLL++ distinct, KLL-style quantiles): the
+    approximate counterparts of agg_distinct_percentile for when exact
+    distinct/percentile state is too large at 100 TB.  Approximation is
+    engine-specific → rows-only check; accuracy vs exact is asserted in
+    tests/test_operators.py."""
+    cat = Catalog(spark, sf_dir)
+    li = cat["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_n_supp"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_n_part"),
+        F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("approx_median_price"),
+        F.percentile_approx("l_extendedprice", 0.9, 10_000).alias("approx_p90_price"),
+    )
+
+
 def q_top_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k (TakeOrdered: per-partition top-k, then a single
     driver-side merge of k-sized heads — never a full sort)."""
@@ -369,6 +396,8 @@ def ext2_queries() -> dict:
         "agg_rollup": q_agg_rollup,
         "agg_distinct_percentile": q_agg_distinct_percentile,
         "join_topk_unshipped": q_join_topk_unshipped,
+        "sample_stratified": q_sample_stratified,
+        "agg_approx_sketches": q_agg_approx_sketches,
         "top_orders_global": q_top_orders_global,
         "window_lag_lead_ntile": q_window_lag_lead_ntile,
         "csv_source_agg": q_csv_source_agg,
@@ -452,6 +481,13 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, l_orderkey LIMIT 10
 """,
+        "sample_stratified": f"""
+SELECT * FROM customer
+WHERE c_custkey % 100 < (CASE c_mktsegment {" ".join(
+    f"WHEN '{seg}' THEN {pct}" for seg, pct in sorted(STRATA_RATES.items())
+)} ELSE 0 END)
+""",
+        "agg_approx_sketches": None,  # approximation is engine-specific
         "top_orders_global": """
 SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
 FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100

@@ -94,3 +94,17 @@ def sample_modulo(df: DataFrame, pk_col: str, modulus: int, remainder: int = 0) 
 def forced_rows(df: DataFrame, pk_col: str, values: list) -> DataFrame:
     """``--force table:pk`` seed rows (reference op #14)."""
     return df.filter(F.col(pk_col).isin(values))
+
+
+def sample_stratified_modulo(
+    df: DataFrame, pk_col: str, strata_col: str, rates: dict[str, int], default: int = 0
+) -> DataFrame:
+    """Deterministic stratified sample: keep ``pk % 100 < rate`` with a
+    per-stratum rate (percent).  The modulo form (vs ``df.sampleBy``)
+    is reproducible across engines, pushes down to the scan, and keeps
+    the per-stratum expectation exact for uniform keys.
+    """
+    rate = F.lit(default)
+    for value, pct in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == value, F.lit(pct)).otherwise(rate)
+    return df.filter(F.col(pk_col) % 100 < rate)

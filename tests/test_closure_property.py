@@ -35,6 +35,35 @@ class DictCatalog:
         return list(self._dfs)
 
 
+def test_composite_fk_closure(spark):
+    """Multi-column FK: shipment.(okey, lineno) -> order_line PK."""
+    order_line = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b"), (2, 1, "c"), (3, 1, "d")],
+        "okey long, lineno long, payload string",
+    )
+    shipment = spark.createDataFrame(
+        [(10, 1, 1), (11, 1, 2), (12, 2, 1), (13, None, None)],
+        "ship_id long, ship_okey long, ship_lineno long",
+    )
+    registry = ConstraintRegistry(
+        pks={"order_line": ("okey", "lineno"), "shipment": ("ship_id",)},
+        fks=[ForeignKey("shipment", ("ship_okey", "ship_lineno"), "order_line", ("okey", "lineno"))],
+    )
+    cat = DictCatalog({"order_line": order_line, "shipment": shipment}, registry)
+    eng = ClosureEngine(cat)
+    seed = shipment.filter(F.col("ship_id").isin([10, 12, 13])).select("ship_id")
+    keys = eng.close_parents({"shipment": seed})
+    got = {
+        (r["okey"], r["lineno"])
+        for r in eng.rows_for_keys("order_line", keys["order_line"]).collect()
+    }
+    # only the two referenced composite keys; the NULL-FK shipment (13)
+    # pulls nothing (na.drop drops rows with ANY null key component)
+    assert got == {(1, 1), (2, 1)}
+    ships = {r["ship_id"] for r in eng.rows_for_keys("shipment", keys["shipment"]).collect()}
+    assert ships == {10, 12, 13}
+
+
 @pytest.mark.slow
 @settings(
     max_examples=6,

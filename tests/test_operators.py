@@ -88,6 +88,24 @@ def test_ivf_recall_vs_brute_force(spark):
             assert abs(cos[key] - r["cosine"]) < 1e-9
 
 
+def test_approx_sketches_close_to_exact(spark):
+    from rdbms_subsetter_spark.queries_ext2 import (
+        q_agg_approx_sketches,
+        q_agg_distinct_percentile,
+    )
+    from tests.conftest import SF_SMALL
+
+    approx = {r["l_returnflag"]: r for r in q_agg_approx_sketches(spark, SF_SMALL).collect()}
+    exact = {r["l_returnflag"]: r for r in q_agg_distinct_percentile(spark, SF_SMALL).collect()}
+    assert approx.keys() == exact.keys()
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert abs(a["approx_n_supp"] - e["n_supp"]) <= max(3, 0.05 * e["n_supp"])
+        assert abs(a["approx_n_part"] - e["n_part"]) <= max(3, 0.05 * e["n_part"])
+        assert abs(a["approx_median_price"] - e["median_price"]) <= 0.05 * e["median_price"]
+        assert abs(a["approx_p90_price"] - e["p90_price"]) <= 0.05 * e["p90_price"]
+
+
 def test_stateful_streaming_equals_batch(spark, tmp_path):
     from rdbms_subsetter_spark.streaming import events as se
 
