@@ -272,6 +272,60 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, queries, k=5, n_clusters=16, n_probe=4)
 
 
+def q_join_outer_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join: customer spend per nation including nations with
+    no customers AND orphan customers (none in consistent data — the
+    shape is what's graded)."""
+    cat = Catalog(spark, sf_dir)
+    spend = (
+        cat["orders"]
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+    )
+    return (
+        cat["customer"]
+        .join(spend, F.col("c_custkey") == F.col("o_custkey"), "full_outer")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce(F.col("spend"), F.lit(0.0)).alias("spend"),
+            F.col("spend").isNull().alias("never_ordered"),
+        )
+    )
+
+
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String surface: levenshtein / regexp_extract / translate / pads."""
+    cat = Catalog(spark, sf_dir)
+    name = F.col("p_name")
+    return cat["part"].select(
+        "p_partkey",
+        F.levenshtein(name, F.col("p_brand")).alias("lev_to_brand"),
+        F.regexp_extract(name, r"^(\w+)", 1).alias("first_word"),
+        F.translate(F.col("p_brand"), "#", "_").alias("brand_clean"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("key_padded"),
+        F.reverse(F.col("p_type")).alias("type_rev"),
+    )
+
+
+def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql() entry path: identical ANSI SQL runs on both
+    engines (temp views registered from the catalog)."""
+    cat = Catalog(spark, sf_dir)
+    for t in ("orders", "customer"):
+        cat[t].createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_spend
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY c_mktsegment
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # sliding windows / pivot / array surface / multimodal depth
 # ---------------------------------------------------------------------------
@@ -405,6 +459,9 @@ def ext2_queries() -> dict:
         "text_tokenize_bpe": q_text_tokenize_bpe,
         "doc_fingerprint_winnow": q_doc_fingerprint_winnow,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "join_outer_full": q_join_outer_full,
+        "string_functions": q_string_functions,
+        "sql_api": q_sql_api,
         "events_sliding": q_events_sliding,
         "agg_pivot": q_agg_pivot,
         "array_functions": q_array_functions,
@@ -540,6 +597,32 @@ SELECT doc_id,
 FROM hashed GROUP BY doc_id
 """,
         "ann_ivf_topk": None,  # iterative k-means: rows-only
+        "join_outer_full": """
+SELECT c_custkey, c_name,
+       coalesce(s.spend, 0.0) AS spend,
+       s.spend IS NULL AS never_ordered
+FROM customer
+FULL OUTER JOIN (SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+                 FROM orders GROUP BY o_custkey) s
+  ON c_custkey = s.o_custkey
+""",
+        "string_functions": r"""
+SELECT p_partkey,
+       CAST(levenshtein(p_name, p_brand) AS INT) AS lev_to_brand,
+       regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+       replace(p_brand, '#', '_') AS brand_clean,
+       lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS key_padded,
+       reverse(p_type) AS type_rev
+FROM part
+""",
+        "sql_api": """
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_spend
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderstatus = 'F'
+GROUP BY c_mktsegment
+""",
         "events_sliding": """
 SELECT ws AS window_start, event_type,
        count(*) AS n_events, round(sum(value), 2) AS sum_value
