@@ -99,6 +99,33 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all four grouping combinations."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat["orders"]
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: parse events.props JSON into
+    map<string,string>, then map_keys / element_at / size."""
+    cat = Catalog(spark, sf_dir)
+    m = F.from_json(F.col("props"), "map<string,string>")
+    return cat["events"].select(
+        "event_id",
+        F.size(m).alias("n_keys"),
+        F.array_sort(F.map_keys(m)).alias("keys_sorted"),
+        F.element_at(m, "k").cast("int").alias("k_val"),
+    )
+
+
 def q_agg_distinct_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct aggregates + exact interpolated percentiles per flag.
 
@@ -448,6 +475,8 @@ def ext2_queries() -> dict:
         "asof_join_prev_event": q_asof_join_prev_event,
         "range_join_price_bands": q_range_join_price_bands,
         "agg_rollup": q_agg_rollup,
+        "agg_cube": q_agg_cube,
+        "map_functions": q_map_functions,
         "agg_distinct_percentile": q_agg_distinct_percentile,
         "join_topk_unshipped": q_join_topk_unshipped,
         "sample_stratified": q_sample_stratified,
@@ -516,6 +545,20 @@ SELECT c_mktsegment, c_nationkey,
        round(sum(c_acctbal), 2) AS sum_bal,
        CAST(grouping(c_mktsegment, c_nationkey) AS INT) AS gid
 FROM customer GROUP BY ROLLUP (c_mktsegment, c_nationkey)
+""",
+        "agg_cube": """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price,
+       CAST(grouping(o_orderstatus, o_orderpriority) AS INT) AS gid
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+        "map_functions": """
+SELECT event_id,
+       CAST(len(json_keys(props)) AS INT) AS n_keys,
+       list_sort(CAST(json_keys(props) AS VARCHAR[])) AS keys_sorted,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+FROM events
 """,
         "agg_distinct_percentile": """
 SELECT l_returnflag,
