@@ -22,6 +22,7 @@ from rdbms_subsetter_spark import pipeline  # noqa: E402
 from rdbms_subsetter_spark.queries_core import core_oracles, core_queries  # noqa: E402
 from rdbms_subsetter_spark.queries_ext import ext_oracles, ext_queries  # noqa: E402
 from rdbms_subsetter_spark.queries_ext2 import ext2_oracles, ext2_queries  # noqa: E402
+from rdbms_subsetter_spark.queries_ext3 import ext3_oracles, ext3_queries  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -34,12 +35,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(core_queries())
     out.update(ext_queries())
     out.update(ext2_queries())
+    out.update(ext3_queries())
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
-    for name, sql in {**core_oracles(), **ext_oracles(), **ext2_oracles()}.items():
+    for name, sql in {
+        **core_oracles(),
+        **ext_oracles(),
+        **ext2_oracles(),
+        **ext3_oracles(),
+    }.items():
         if sql is not None:
             out[name] = sql
     return out

@@ -56,6 +56,11 @@ HEADLINE = [
     "multimodal_features",
     "udf_grouped_zscore",
     "udtf_sentence_split",
+    "sql_exists_subquery",
+    "join_in_having",
+    "agg_custdist",
+    "array_higher_order",
+    "udf_scalar_pandas",
 ]
 
 

@@ -1,4 +1,5 @@
 from rdbms_subsetter_spark.functions.udfs import (  # noqa: F401
     grouped_zscore,
+    horner_cubic,
     sentence_split_udtf,
 )

@@ -10,6 +10,7 @@ is what these exercise, on computations whose answers SQL can verify.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves 'pd.Series' hints here
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -65,3 +66,27 @@ def sentence_split_udtf(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.lateralJoin(
         SentenceSplit(F.col("doc_id").outer(), F.col(text_col).outer())
     ).select("doc_id", "sentence_idx", "sentence")
+
+
+def horner_cubic() -> "F.Column":
+    """Scalar ``pandas_udf`` (vectorized Arrow batches): the cubic
+    ((x·0.25 + 1.5)·x − 2)·x in Horner form.
+
+    The third UDF shape alongside grouped ``applyInPandas`` and the
+    UDTF: a SCALAR Arrow UDF — batches arrive as ``pandas.Series``, the
+    whole batch is computed in one numpy call, no per-row Python.  Pure
+    IEEE-754 arithmetic (no libm transcendentals, which differ in the
+    last ulp between numpy and other engines), so DuckDB verifies the
+    Arrow plumbing bit-exactly (``round()`` happens JVM-side in the
+    caller, never in numpy).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _horner_cubic(v: pd.Series) -> pd.Series:
+        x = v.to_numpy(dtype=np.float64)
+        return pd.Series(((x * 0.25 + 1.5) * x - 2.0) * x)
+
+    return _horner_cubic

@@ -1,0 +1,446 @@
+"""Graded queries, part 4: the subquery surface (EXISTS / IN+HAVING /
+scalar — Catalyst's decorrelation paths), GROUPING SETS, value-window
+functions (first/last/nth), higher-order array functions, the scalar
+Arrow pandas-UDF shape, two-level aggregation (TPC-H Q13 shape), and
+streaming deduplication.
+
+Same contract as queries_core/ext/ext2: identical column aliases on
+both engines, floats rounded on both sides (JVM-side ``F.round``,
+never numpy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from rdbms_subsetter_spark.catalog import Catalog
+from rdbms_subsetter_spark.operators import text
+from rdbms_subsetter_spark.queries_ext import _EN_STOP, _NORM, _RAW_TOKS
+from rdbms_subsetter_spark.streaming import events as streaming_events
+
+
+# ---------------------------------------------------------------------------
+# subqueries: EXISTS / IN+HAVING / scalar
+# ---------------------------------------------------------------------------
+
+
+def q_sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (TPC-H Q4 shape, adapted to the slimmed schema):
+    priority counts over 1996 orders having at least one discounted line.
+
+    Catalyst's RewritePredicateSubquery turns the EXISTS into a LEFT
+    SEMI join — same physical plan as the FK-closure semi-joins, reached
+    from the SQL surface instead of the DataFrame API.
+    """
+    cat = Catalog(spark, sf_dir)
+    for t in ("orders", "lineitem"):
+        cat[t].createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+def q_join_in_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery with HAVING (TPC-H Q18 shape): customers whose orders
+    total > 200 quantity units.
+
+    DataFrame form: the HAVING is an aggregate-then-filter, the IN is a
+    left_semi join against the filtered key set — the aggregated side is
+    tiny after the filter, so AQE broadcasts the semi join.
+    """
+    cat = Catalog(spark, sf_dir)
+    li = cat["lineitem"]
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 200)  # HAVING
+        .select("l_orderkey")
+    )
+    orders = cat["orders"].join(
+        big, F.col("o_orderkey") == big["l_orderkey"], "left_semi"
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cat["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "o_orderkey", "o_totalprice", "o_orderdate")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+def q_sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: customers above the global average balance, with
+    their distance from it.  Catalyst plans the subquery once (a
+    one-row broadcast), not per-row."""
+    cat = Catalog(spark, sf_dir)
+    cat["customer"].createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment,
+               round(c_acctbal - (SELECT avg(c_acctbal) FROM customer), 2)
+                 AS above_avg
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregation: GROUPING SETS, two-level (Q13 custdist)
+# ---------------------------------------------------------------------------
+
+
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form ROLLUP/CUBE compile to):
+    (flag, status), (flag), and grand total — one Expand, one shuffle."""
+    cat = Catalog(spark, sf_dir)
+    cat["lineitem"].createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_rows,
+               round(sum(l_quantity), 2) AS sum_qty,
+               CAST(grouping_id() AS INT) AS gid
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+def q_agg_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level aggregation (TPC-H Q13): order-count distribution over
+    customers, LEFT join with a non-equi LIKE residual in the join
+    condition (urgent orders excluded *inside* the join, so customers
+    with only urgent orders still count as 0)."""
+    cat = Catalog(spark, sf_dir)
+    orders = cat["orders"]
+    per_cust = (
+        cat["customer"]
+        .join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & ~F.col("o_orderpriority").like("%URGENT%"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# windows: first_value / last_value / nth_value
+# ---------------------------------------------------------------------------
+
+
+def q_window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value window functions per customer order history: first order's
+    price, last (full-frame), and second (running frame, NULL until two
+    rows are visible).  Deterministic tiebreak on o_orderkey."""
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return cat["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.first_value("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.last_value("o_totalprice").over(w_full), 2).alias("last_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias("second_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# higher-order array functions
+# ---------------------------------------------------------------------------
+
+
+def q_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambda (higher-order) array functions over embeddings — all
+    codegen, no UDF: filter, exists, transform, zip_with fold.
+    Arithmetic in double (float32→float64 widening is exact)."""
+    from rdbms_subsetter_spark.operators.similarity import dot
+
+    cat = Catalog(spark, sf_dir)
+    e = F.col("embedding")
+    pos = F.filter(e, lambda x: x > 0)
+    return cat["embeddings"].select(
+        "vec_id",
+        F.size(pos).alias("n_pos"),
+        F.round(
+            F.aggregate(pos, F.lit(0.0), lambda a, x: a + x.cast("double")), 6
+        ).alias("sum_pos"),
+        F.exists(e, lambda x: x > 0.9).alias("has_big"),
+        F.round(
+            F.array_max(F.transform(e, lambda x: x.cast("double") * x.cast("double"))),
+            6,
+        ).alias("max_sq"),
+        F.round(dot(e, F.reverse(e)), 6).alias("rev_dot"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# lateral expansion / multi-resolution rollup / end-to-end doc pipeline
+# ---------------------------------------------------------------------------
+
+
+def q_explode_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (ordinal lateral expansion) of part names into words —
+    the built-in Generate operator (vs the Python-UDTF path): narrow,
+    no shuffle, pipelined inside the scan stage."""
+    cat = Catalog(spark, sf_dir)
+    return cat["part"].select(
+        "p_partkey",
+        F.posexplode(F.split(F.col("p_name"), " ")).alias("word_idx", "word"),
+    )
+
+
+def q_events_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution time rollup (the hypertable pattern): daily
+    aggregates computed FROM the hourly aggregates, not from raw events.
+
+    At 100 TB the hourly layer is the materialized continuous aggregate;
+    every coarser resolution (day/week/month) is a cheap second-level
+    rollup over it — count→sum(count), sum→sum(sum).  The oracle
+    aggregates raw events directly, proving the two-level reassociation
+    is exact."""
+    cat = Catalog(spark, sf_dir)
+    hourly = (
+        cat["events"]
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+    )
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", F.col("hour_ts")).alias("day_ts"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("v"), 2).alias("sum_value"),
+        )
+    )
+
+
+def q_docpipe_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline: language filter → quality
+    scoring → exact dedup (keep lowest doc_id per fingerprint).
+
+    The composition a 100 TB pretraining-corpus job actually runs; all
+    scoring is codegen expressions, the only shuffle is the dedup
+    window on the fingerprint."""
+    cat = Catalog(spark, sf_dir)
+    t = F.col("text")
+    scored = cat["documents"].select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        text.quality_score(t).alias("quality"),
+        text.fingerprint(t).alias("fp"),
+    )
+    kept = scored.filter((F.col("lang") == "en") & (F.col("quality") >= 0.5))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_chars", "quality")
+    )
+
+
+# ---------------------------------------------------------------------------
+# UDF surface: scalar Arrow pandas UDF
+# ---------------------------------------------------------------------------
+
+
+def q_udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar ``pandas_udf`` over events.value (Arrow batch in, numpy
+    vectorized, Arrow batch out) — pure-arithmetic cubic so the result
+    is bit-exact vs the oracle."""
+    from rdbms_subsetter_spark.functions import horner_cubic
+
+    cubic = horner_cubic()
+    cat = Catalog(spark, sf_dir)
+    return cat["events"].select(
+        "event_id",
+        F.round(cubic(F.col("value")), 6).alias("cubic_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sources: directory-partitioned parquet + partition pruning
+# ---------------------------------------------------------------------------
+
+
+def q_partitioned_source_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → parquet partitioned by lang → read back filtered to
+    two languages.  The filter prunes partition DIRECTORIES at planning
+    time (plan shows PartitionFilters, scan reads 2/5 of the files) —
+    the layout that keeps selective scans O(selected) at 100 TB.
+    Pruning shape asserted in tests/test_scale_plans.py."""
+    from rdbms_subsetter_spark.sources.io import partitioned_roundtrip
+
+    cat = Catalog(spark, sf_dir)
+    rt = partitioned_roundtrip(cat["documents"], "lang", tag=f"{sf_dir}/documents")
+    return (
+        rt.filter(F.col("lang").isin("en", "de"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming: dedup
+# ---------------------------------------------------------------------------
+
+
+def q_streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates over the replayed event stream; bounded
+    replay makes the emitted set equal batch DISTINCT → oracle-checked."""
+    return streaming_events.streaming_dedup_keys(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+
+def ext3_queries() -> dict:
+    return {
+        "sql_exists_subquery": q_sql_exists_subquery,
+        "join_in_having": q_join_in_having,
+        "sql_scalar_subquery": q_sql_scalar_subquery,
+        "agg_grouping_sets": q_agg_grouping_sets,
+        "agg_custdist": q_agg_custdist,
+        "window_first_last_nth": q_window_first_last_nth,
+        "array_higher_order": q_array_higher_order,
+        "udf_scalar_pandas": q_udf_scalar_pandas,
+        "explode_posexplode": q_explode_posexplode,
+        "events_rollup_daily": q_events_rollup_daily,
+        "docpipe_quality_filter": q_docpipe_quality_filter,
+        "partitioned_source_prune": q_partitioned_source_prune,
+        "streaming_dedup_keys": q_streaming_dedup_keys,
+    }
+
+
+def ext3_oracles() -> dict:
+    return {
+        "sql_exists_subquery": """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+GROUP BY o_orderpriority
+""",
+        "join_in_having": """
+SELECT c_name, o_orderkey, o_totalprice, o_orderdate,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING sum(l_quantity) > 200)
+GROUP BY c_name, o_orderkey, o_totalprice, o_orderdate
+""",
+        "sql_scalar_subquery": """
+SELECT c_custkey, c_mktsegment,
+       round(c_acctbal - (SELECT avg(c_acctbal) FROM customer), 2) AS above_avg
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+""",
+        "agg_grouping_sets": """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty,
+       CAST(grouping(l_returnflag, l_linestatus) AS INT) AS gid
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""",
+        "agg_custdist": """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '%URGENT%'
+  GROUP BY c_custkey)
+GROUP BY c_count
+""",
+        "window_first_last_nth": """
+SELECT o_orderkey, o_custkey,
+       round(first_value(o_totalprice) OVER w, 2) AS first_price,
+       round(last_value(o_totalprice) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+         AS last_price,
+       round(nth_value(o_totalprice, 2) OVER w, 2) AS second_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+        "array_higher_order": """
+SELECT vec_id,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+       round(list_sum(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)), 6)
+         AS sum_pos,
+       len(list_filter(embedding, x -> x > 0.9)) > 0 AS has_big,
+       round(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)), 6)
+         AS max_sq,
+       round(list_dot_product(CAST(embedding AS DOUBLE[]),
+                              list_reverse(CAST(embedding AS DOUBLE[]))), 6)
+         AS rev_dot
+FROM embeddings
+""",
+        "udf_scalar_pandas": """
+SELECT event_id,
+       round(((value * 0.25 + 1.5) * value - 2.0) * value, 6) AS cubic_val
+FROM events
+""",
+        "explode_posexplode": """
+SELECT p_partkey,
+       CAST(i - 1 AS INT) AS word_idx,
+       l[CAST(i AS INT)] AS word
+FROM (SELECT p_partkey, string_split(p_name, ' ') AS l FROM part),
+     unnest(range(1, len(l) + 1)) AS t(i)
+""",
+        "events_rollup_daily": """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts, event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+        "docpipe_quality_filter": f"""
+WITH scored AS (
+  SELECT doc_id, lang, n_chars,
+         round((least(len({_RAW_TOKS}) / 100.0, 1.0)
+               + least(len(list_filter({_RAW_TOKS}, t -> list_contains({_EN_STOP}, t))) * 1.0
+                       / len({_RAW_TOKS}) * 5.0, 1.0)
+               + greatest(0.0, 1.0 - ((length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')))
+                                       * 1.0 / length(text)) * 4.0)) / 3.0, 6) AS quality,
+         md5({_NORM}) AS fp
+  FROM documents),
+kept AS (SELECT * FROM scored WHERE lang = 'en' AND quality >= 0.5)
+SELECT doc_id, lang, n_chars, quality FROM (
+  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM kept)
+WHERE rn = 1
+""",
+        "partitioned_source_prune": """
+SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+FROM documents WHERE lang IN ('en', 'de')
+GROUP BY lang, source
+""",
+        "streaming_dedup_keys": """
+SELECT DISTINCT user_id, event_type FROM events
+""",
+    }

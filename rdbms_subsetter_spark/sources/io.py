@@ -131,3 +131,19 @@ def write_jdbc(
         .mode(mode)
         .save()
     )
+
+
+def partitioned_roundtrip(df: DataFrame, partition_col: str, tag: str) -> DataFrame:
+    """Write *df* as a directory-partitioned parquet layout
+    (``.../{col}=value/part-*.parquet``) and read it back.
+
+    This is THE layout for selective scans at 100 TB: a filter on the
+    partition column prunes whole directories at planning time (the scan
+    shows ``PartitionFilters``, not data filters), so a one-partition
+    query reads 1/N of the data no matter how large the table is.
+    Partition columns come back as the narrowest parsed type; callers
+    cast if the original type must survive (strings survive as-is).
+    """
+    out = _scratch_dir("part", tag)
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(out)
+    return df.sparkSession.read.parquet(out)

@@ -173,3 +173,24 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
     )
     return out.orderBy("hour_start", "event_type")
+
+
+def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: distinct (user_id, event_type) pairs via
+    ``dropDuplicates`` on the replayed stream (append mode — each key is
+    emitted exactly once, on first sight).
+
+    After a bounded replay the emitted set equals batch
+    ``SELECT DISTINCT``, so this streaming query is DuckDB-checkable.
+    At scale the state store grows with key cardinality; for unbounded
+    key spaces the production form is ``dropDuplicatesWithinWatermark``
+    (same plan with a TTL on state), covered in tests.
+    """
+    keys = events_stream(spark, sf_dir).select("user_id", "event_type")
+    out = run_stream_to_memory(
+        spark,
+        keys.dropDuplicates(["user_id", "event_type"]),
+        name="stream_dedup_keys",
+        output_mode="append",
+    )
+    return out

@@ -133,3 +133,12 @@ def test_asof_join_single_shuffle(cat):
     # union + one window sort: at most one shuffle of the combined rows,
     # never a join fan-out
     assert count_exchanges(out) <= 1, physical_plan(out, "simple")
+
+
+def test_partitioned_source_query_prunes(spark):
+    from rdbms_subsetter_spark.queries_ext3 import q_partitioned_source_prune
+
+    df = q_partitioned_source_prune(spark, SF_SMALL)
+    plan = physical_plan(df, "formatted")
+    pf = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert "lang" in pf  # lang IN (...) prunes directories, not rows
