@@ -334,3 +334,61 @@ def simhash_bits(docs: DataFrame, bits: int = 64) -> DataFrame:
             for b in range(bits)
         ],
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    left: str = "doc_id_1",
+    right: str = "doc_id_2",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected edge list by min-label
+    propagation to a fixpoint: (node, cluster_id = min node id in the
+    component).
+
+    Each round every node takes the min of its own label and its
+    neighbors' labels — one shuffle per round on the node key —
+    converging in O(component diameter) rounds.  Near-dup graphs are
+    shallow (cliques/stars from pairwise similarity), so 2-4 rounds in
+    practice; for large-diameter graphs the production upgrade is
+    alternating large-star/small-star contraction, same loop skeleton.
+    Per-round ``localCheckpoint`` cuts lineage growth, the same
+    discipline as the FK-closure fixpoint (closure.py) — an iterative
+    driver loop is exactly how the reference's recursive
+    ``create_row_in`` closure (subsetter.py::create_row_in) maps onto
+    set-at-a-time Spark.
+    """
+    sym = (
+        edges.select(F.col(left).alias("src"), F.col(right).alias("dst"))
+        .union(edges.select(F.col(right).alias("src"), F.col(left).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused every round: compute edges once
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        stepped = (
+            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+                (F.col("nbr_min") < F.col("label")).alias("changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = stepped.filter(F.col("changed")).count()
+        labels = stepped.drop("changed")
+        if n_changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, on="label").select(
+        F.col("node"), F.col("label").alias("cluster_id"), "cluster_size"
+    )

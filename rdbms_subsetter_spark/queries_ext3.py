@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from rdbms_subsetter_spark.catalog import Catalog
 from rdbms_subsetter_spark.operators import text
-from rdbms_subsetter_spark.queries_ext import _EN_STOP, _NORM, _RAW_TOKS
+from rdbms_subsetter_spark.queries_ext import _EN_STOP, _NORM, _RAW_TOKS, _shingle_cte
 from rdbms_subsetter_spark.streaming import events as streaming_events
 
 
@@ -256,6 +256,71 @@ def q_docpipe_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar AGGREGATE subquery: parts priced above their
+    own brand's average.  Catalyst decorrelates it into a grouped
+    aggregate joined back on the correlation key — never a per-row
+    subquery execution."""
+    cat = Catalog(spark, sf_dir)
+    cat["part"].createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand,
+               round(p_retailprice - (SELECT avg(p2.p_retailprice) FROM part p2
+                                      WHERE p2.p_brand = p.p_brand), 2)
+                 AS above_brand_avg
+        FROM part p
+        WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM part p2
+                               WHERE p2.p_brand = p.p_brand)
+        """
+    )
+
+
+def q_dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the n-gram-Jaccard
+    pair graph (threshold 0.5) — the step that turns pairwise similarity
+    into dedup groups at corpus scale.  Spark side is an iterative
+    min-label-propagation fixpoint (one shuffle per round, O(diameter)
+    rounds); the oracle proves it equals the transitive closure via a
+    recursive CTE."""
+    from rdbms_subsetter_spark.operators import dedup
+
+    cat = Catalog(spark, sf_dir)
+    edges = dedup.ngram_jaccard_pairs(cat["documents"], n=3, threshold=0.5)
+    return dedup.connected_components(edges).withColumnRenamed("node", "doc_id")
+
+
+def q_merge_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert as a snapshot rewrite (the parquet-native form of
+    ``MERGE INTO``): latest event value per user upserted into the
+    customer snapshot — matched rows updated, unmatched base rows kept,
+    unmatched updates inserted.
+
+    Latest-per-key via max_by on (ts, event_id); the merge itself is a
+    single full-outer join on the key.  At scale both sides shuffle on
+    the key once; with a bucketed base table the join is shuffle-free.
+    """
+    cat = Catalog(spark, sf_dir)
+    latest = (
+        cat["events"]
+        .groupBy(F.col("user_id").alias("key"))
+        .agg(
+            F.round(
+                F.max_by(F.col("value"), F.struct(F.col("ts"), F.col("event_id"))), 2
+            ).alias("new_val")
+        )
+    )
+    base = cat["customer"].select(
+        F.col("c_custkey").alias("key"), F.round(F.col("c_acctbal"), 2).alias("old_val")
+    )
+    return base.join(latest, on="key", how="full_outer").select(
+        "key",
+        F.coalesce("new_val", "old_val").alias("balance"),
+        F.col("new_val").isNotNull().alias("updated"),
+        F.col("old_val").isNull().alias("inserted"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # UDF surface: scalar Arrow pandas UDF
 # ---------------------------------------------------------------------------
@@ -326,6 +391,9 @@ def ext3_queries() -> dict:
         "window_first_last_nth": q_window_first_last_nth,
         "array_higher_order": q_array_higher_order,
         "udf_scalar_pandas": q_udf_scalar_pandas,
+        "sql_correlated_scalar": q_sql_correlated_scalar,
+        "dedup_cc_clusters": q_dedup_cc_clusters,
+        "merge_upsert_latest": q_merge_upsert_latest,
         "explode_posexplode": q_explode_posexplode,
         "events_rollup_daily": q_events_rollup_daily,
         "docpipe_quality_filter": q_docpipe_quality_filter,
@@ -406,6 +474,50 @@ FROM embeddings
 SELECT event_id,
        round(((value * 0.25 + 1.5) * value - 2.0) * value, 6) AS cubic_val
 FROM events
+""",
+        "sql_correlated_scalar": """
+SELECT p_partkey, p_brand,
+       round(p_retailprice - (SELECT avg(p2.p_retailprice) FROM part p2
+                              WHERE p2.p_brand = p.p_brand), 2) AS above_brand_avg
+FROM part p
+WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM part p2
+                       WHERE p2.p_brand = p.p_brand)
+""",
+        "dedup_cc_clusters": f"""
+WITH RECURSIVE {_shingle_cte(3)},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT d1, d2
+  FROM shared JOIN sizes n1 ON d1 = n1.doc_id JOIN sizes n2 ON d2 = n2.doc_id
+  WHERE shared * 1.0 / (n1.n_sh + n2.n_sh - shared) >= 0.5),
+sym AS (SELECT d1 AS src, d2 AS dst FROM pairs
+        UNION SELECT d2, d1 FROM pairs),
+walk(node, label) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.src, w.label FROM sym s JOIN walk w ON s.dst = w.node),
+lab AS (SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM lab
+""",
+        "merge_upsert_latest": """
+WITH latest AS (
+  SELECT user_id AS key, round(value, 2) AS new_val FROM (
+    SELECT user_id, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events) WHERE rn = 1),
+base AS (SELECT c_custkey AS key, round(c_acctbal, 2) AS old_val FROM customer)
+SELECT coalesce(base.key, latest.key) AS key,
+       coalesce(new_val, old_val) AS balance,
+       new_val IS NOT NULL AS updated,
+       old_val IS NULL AS inserted
+FROM base FULL OUTER JOIN latest ON base.key = latest.key
 """,
         "explode_posexplode": """
 SELECT p_partkey,

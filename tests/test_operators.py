@@ -124,3 +124,22 @@ def test_stateful_streaming_equals_batch(spark, tmp_path):
         .collect()
     }
     assert got == exp
+
+
+def test_connected_components_path_graph(spark):
+    """A 6-node path (worst-case diameter) plus an isolated edge: min
+    label must propagate end-to-end and the loop must terminate."""
+    from rdbms_subsetter_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11)],
+        ["doc_id_1", "doc_id_2"],
+    )
+    got = {
+        r["node"]: (r["cluster_id"], r["cluster_size"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        1: (1, 6), 2: (1, 6), 3: (1, 6), 4: (1, 6), 5: (1, 6), 6: (1, 6),
+        10: (10, 2), 11: (10, 2),
+    }
