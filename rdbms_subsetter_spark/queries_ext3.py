@@ -365,6 +365,62 @@ def q_partitioned_source_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orc_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → ORC → read back → aggregate; the oracle reads the
+    original parquet, so any columnar-format round-trip loss breaks
+    the hash."""
+    from rdbms_subsetter_spark.sources.io import orc_roundtrip
+
+    cat = Catalog(spark, sf_dir)
+    rt = orc_roundtrip(cat["orders"], tag=f"{sf_dir}/orders")
+    return rt.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderdate").alias("last_date"),
+    )
+
+
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-filling: per-type hourly spine (sequence +
+    explode), left join the hourly aggregates, forward-fill the value
+    with last_value(ignoreNulls) — the interpolation operator Spark
+    has no builtin for, composed from three primitives.
+
+    At scale the spine is generated, never materialized from data, and
+    the forward-fill window shuffles once on the series key."""
+    cat = Catalog(spark, sf_dir)
+    hourly = (
+        cat["events"]
+        .groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hour_ts").alias("lo"), F.max("hour_ts").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+                "hour_ts"
+            ),
+        )
+    )
+    joined = spine.join(hourly, on=["event_type", "hour_ts"], how="left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "hour_ts",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.round(F.last_value("v", ignoreNulls=True).over(w), 2).alias("v_filled"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # streaming: dedup
 # ---------------------------------------------------------------------------
@@ -374,6 +430,12 @@ def q_streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dropDuplicates over the replayed event stream; bounded
     replay makes the emitted set equal batch DISTINCT → oracle-checked."""
     return streaming_events.streaming_dedup_keys(spark, sf_dir)
+
+
+def q_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join + complete-mode aggregation;
+    bounded replay ≡ the batch join+agg → oracle-checked."""
+    return streaming_events.streaming_static_join(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -398,7 +460,10 @@ def ext3_queries() -> dict:
         "events_rollup_daily": q_events_rollup_daily,
         "docpipe_quality_filter": q_docpipe_quality_filter,
         "partitioned_source_prune": q_partitioned_source_prune,
+        "orc_source_agg": q_orc_source_agg,
+        "events_gapfill": q_events_gapfill,
         "streaming_dedup_keys": q_streaming_dedup_keys,
+        "streaming_static_join": q_streaming_static_join,
     }
 
 
@@ -554,5 +619,39 @@ GROUP BY lang, source
 """,
         "streaming_dedup_keys": """
 SELECT DISTINCT user_id, event_type FROM events
+""",
+        "orc_source_agg": """
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price,
+       min(o_orderdate) AS first_date,
+       max(o_orderdate) AS last_date
+FROM orders GROUP BY o_orderstatus
+""",
+        "events_gapfill": """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+         count(*) AS n, sum(value) AS v
+  FROM events GROUP BY 1, 2),
+bounds AS (SELECT event_type, min(hour_ts) AS lo, max(hour_ts) AS hi
+           FROM hourly GROUP BY 1),
+spine AS (SELECT event_type,
+                 unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts
+          FROM bounds)
+SELECT s.event_type,
+       CAST(s.hour_ts AS TIMESTAMP) AS hour_ts,
+       coalesce(h.n, 0) AS n_events,
+       round(last_value(h.v IGNORE NULLS) OVER
+             (PARTITION BY s.event_type ORDER BY s.hour_ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS v_filled
+FROM spine s LEFT JOIN hourly h
+  ON s.event_type = h.event_type AND s.hour_ts = h.hour_ts
+""",
+        "streaming_static_join": """
+SELECT c_mktsegment,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
 """,
     }

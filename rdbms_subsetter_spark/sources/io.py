@@ -147,3 +147,13 @@ def partitioned_roundtrip(df: DataFrame, partition_col: str, tag: str) -> DataFr
     out = _scratch_dir("part", tag)
     df.write.mode("overwrite").partitionBy(partition_col).parquet(out)
     return df.sparkSession.read.parquet(out)
+
+
+def orc_roundtrip(df: DataFrame, tag: str) -> DataFrame:
+    """Write *df* as ORC and read it back — the third columnar format
+    alongside parquet (native Spark support, predicate pushdown and
+    column pruning both apply).  Values must survive bit-exactly for
+    the oracle gate."""
+    out = _scratch_dir("orc", tag)
+    df.write.mode("overwrite").orc(out)
+    return df.sparkSession.read.schema(df.schema).orc(out)

@@ -194,3 +194,30 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
     )
     return out
+
+
+def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched with the static
+    customer dimension (no watermark needed — the static side is simply
+    looked up per micro-batch, broadcast by AQE), then aggregated per
+    market segment in complete mode.
+
+    The canonical streaming-enrichment shape at scale: the dimension is
+    re-resolved every batch, so slowly-changing dims are picked up
+    without restarts.  Bounded replay ≡ the batch join+agg → oracle.
+    """
+    from rdbms_subsetter_spark.catalog import Catalog
+
+    ev = events_stream(spark, sf_dir)
+    cust = Catalog(spark, sf_dir)["customer"].select("c_custkey", "c_mktsegment")
+    agg = (
+        ev.join(cust, ev["user_id"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    return run_stream_to_memory(
+        spark, agg, name="stream_static_join", output_mode="complete"
+    )
