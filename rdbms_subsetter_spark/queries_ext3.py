@@ -365,6 +365,23 @@ def q_partitioned_source_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation: lineitem has only 3 returnflag
+    groups (worst-case key skew — every row lands on 3 reducers), so
+    the salted form partial-aggregates on (key, salt) first.  The
+    oracle is the PLAIN group-by: salting must be invisible in the
+    result."""
+    from rdbms_subsetter_spark.partitioning import salted_agg
+
+    cat = Catalog(spark, sf_dir)
+    out = salted_agg(
+        cat["lineitem"], ["l_returnflag"], {"l_quantity": "sum_qty"}, salt=16
+    )
+    return out.select(
+        "l_returnflag", "n_rows", F.round("sum_qty", 2).alias("sum_qty")
+    )
+
+
 def q_orc_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders → ORC → read back → aggregate; the oracle reads the
     original parquet, so any columnar-format round-trip loss breaks
@@ -460,6 +477,7 @@ def ext3_queries() -> dict:
         "events_rollup_daily": q_events_rollup_daily,
         "docpipe_quality_filter": q_docpipe_quality_filter,
         "partitioned_source_prune": q_partitioned_source_prune,
+        "agg_salted_skew": q_agg_salted_skew,
         "orc_source_agg": q_orc_source_agg,
         "events_gapfill": q_events_gapfill,
         "streaming_dedup_keys": q_streaming_dedup_keys,
@@ -619,6 +637,10 @@ GROUP BY lang, source
 """,
         "streaming_dedup_keys": """
 SELECT DISTINCT user_id, event_type FROM events
+""",
+        "agg_salted_skew": """
+SELECT l_returnflag, count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY l_returnflag
 """,
         "orc_source_agg": """
 SELECT o_orderstatus,

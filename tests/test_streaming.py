@@ -67,3 +67,33 @@ def test_session_windows_emitted_after_watermark(spark, tmp_path):
     }
     start, end = sess[(1, 2)]
     assert start == t and end == t + 35 * m  # last event + 30min gap
+
+
+def test_dedup_within_watermark_state_ttl(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates are suppressed while
+    the key's state lives, but a duplicate arriving after the watermark
+    evicted that state is re-emitted — the bounded-state tradeoff vs
+    plain dropDuplicates (which would suppress it forever)."""
+    path = str(tmp_path / "events.parquet")
+    t = dt.datetime(2024, 1, 1, 0, 0)
+    h = dt.timedelta(hours=1)
+    # batch 0: user 1 first seen
+    _write_batch(spark, path, [(1, t, 1, "a", 1.0)])
+    # batch 1: duplicate while state is live → suppressed; also push
+    # the watermark far ahead (t+5h − 1h delay = t+4h) → state evicted
+    _write_batch(spark, path, [(2, t, 1, "a", 1.0), (3, t + 5 * h, 99, "a", 1.0)])
+    # batch 2: unrelated key — the t+4h watermark from batch 1's commit
+    # is applied here, evicting user 1's (ts=t, expires t+1h) state
+    _write_batch(spark, path, [(5, t + 5 * h, 50, "a", 1.0)])
+    # batch 3: user 1 again, above the watermark → state gone → re-emitted
+    _write_batch(spark, path, [(4, t + 4 * h + h / 2, 1, "a", 1.0)])
+
+    dedup = (
+        se.events_stream(spark, str(tmp_path))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id"])
+        .select("user_id")
+    )
+    out = se.run_stream_to_memory(spark, dedup, "dedup_wm_test", output_mode="append")
+    emitted = sorted(r["user_id"] for r in out.collect())
+    assert emitted == [1, 1, 50, 99], emitted
