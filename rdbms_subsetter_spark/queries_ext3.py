@@ -97,6 +97,38 @@ def q_sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_sql_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN over a NULLABLE subquery — three-valued logic makes this a
+    distinct physical operator (null-aware anti join: BHJ LeftAnti with
+    the isNullAware flag, checked in tests/test_scale_plans.py).  The
+    nullif() never fires at runtime, but its nullable TYPE forces the
+    null-aware plan."""
+    cat = Catalog(spark, sf_dir)
+    for t in ("customer", "nation"):
+        cat[t].createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_nationkey FROM customer
+        WHERE c_nationkey NOT IN (SELECT nullif(n_nationkey, -1)
+                                  FROM nation WHERE n_regionkey = 1)
+        """
+    )
+
+
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set ops (multiplicity-preserving): INTERSECT ALL /
+    EXCEPT ALL of the suppkey multisets of two lineitem slices."""
+    cat = Catalog(spark, sf_dir)
+    li = cat["lineitem"]
+    a = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    b = li.filter(F.col("l_linestatus") == "F").select("l_suppkey")
+    tag = lambda df, t: df.select(F.lit(t).alias("op"), "l_suppkey")  # noqa: E731
+    both = tag(a.intersectAll(b), "intersect_all").unionByName(
+        tag(a.exceptAll(b), "except_all")
+    )
+    return both.groupBy("op", "l_suppkey").agg(F.count(F.lit(1)).alias("multiplicity"))
+
+
 def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (the general form ROLLUP/CUBE compile to):
     (flag, status), (flag), and grand total — one Expand, one shuffle."""
@@ -471,6 +503,8 @@ def ext3_queries() -> dict:
         "array_higher_order": q_array_higher_order,
         "udf_scalar_pandas": q_udf_scalar_pandas,
         "sql_correlated_scalar": q_sql_correlated_scalar,
+        "sql_not_in_null_aware": q_sql_not_in_null_aware,
+        "set_ops_all": q_set_ops_all,
         "dedup_cc_clusters": q_dedup_cc_clusters,
         "merge_upsert_latest": q_merge_upsert_latest,
         "explode_posexplode": q_explode_posexplode,
@@ -565,6 +599,24 @@ SELECT p_partkey, p_brand,
 FROM part p
 WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM part p2
                        WHERE p2.p_brand = p.p_brand)
+""",
+        "sql_not_in_null_aware": """
+SELECT c_custkey, c_nationkey FROM customer
+WHERE c_nationkey NOT IN (SELECT nullif(n_nationkey, -1)
+                          FROM nation WHERE n_regionkey = 1)
+""",
+        "set_ops_all": """
+SELECT op, l_suppkey, count(*) AS multiplicity FROM (
+  SELECT 'intersect_all' AS op, l_suppkey FROM (
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    INTERSECT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_linestatus = 'F')
+  UNION ALL
+  SELECT 'except_all' AS op, l_suppkey FROM (
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    EXCEPT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_linestatus = 'F'))
+GROUP BY op, l_suppkey
 """,
         "dedup_cc_clusters": f"""
 WITH RECURSIVE {_shingle_cte(3)},

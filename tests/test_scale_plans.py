@@ -142,3 +142,12 @@ def test_partitioned_source_query_prunes(spark):
     plan = physical_plan(df, "formatted")
     pf = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
     assert "lang" in pf  # lang IN (...) prunes directories, not rows
+
+
+def test_not_in_plans_null_aware_anti_join(spark):
+    from rdbms_subsetter_spark.queries_ext3 import q_sql_not_in_null_aware
+
+    df = q_sql_not_in_null_aware(spark, SF_SMALL)
+    plan = physical_plan(df, "simple")
+    # BHJ LeftAnti with the isNullAware flag (trailing "true")
+    assert "LeftAnti, BuildRight, true" in plan, plan
