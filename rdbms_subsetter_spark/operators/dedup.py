@@ -95,6 +95,12 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(F.broadcast(hot), on="shingle", how="left_anti")
+    # the shingle set feeds THREE consumers (sizes + both self-join
+    # sides): materialize once instead of recomputing normalize+md5+
+    # explode per consumer (measured 2.07→1.73 s at sf0.1).  On a
+    # memory-constrained cluster swap for persist(DISK_ONLY) — the
+    # exploded set is ~tokens×n the corpus size.
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_id_1"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_id_2"), "shingle")

@@ -292,5 +292,13 @@ UNION ALL SELECT 'region', count(*) FROM reg
 """,
         "sequence_resync": _seq_resync_sql(),
         "plan_preview": _plan_preview_sql(),
-        "schema_overview": None,  # metadata-only; rows-only check
+        # reflected schema vs DuckDB's information_schema over the same
+        # parquet files: catalogs must agree on columns AND order
+        "schema_overview": """
+SELECT table_name, column_name,
+       CAST(ordinal_position - 1 AS INT) AS position
+FROM information_schema.columns
+WHERE table_name IN ('customer','documents','embeddings','events',
+                     'lineitem','nation','orders','part','region','supplier')
+""",
     }
