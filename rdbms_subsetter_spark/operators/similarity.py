@@ -334,3 +334,26 @@ def srp_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def quantize_int8(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-vector int8 scalar quantization: q_i = round((x_i - min) /
+    scale) ∈ [0, 255] with scale = (max - min)/255 — the 4× embedding
+    storage shrink every vector store applies before ANN at scale.
+
+    Pure codegen array expressions (no UDF); all arithmetic in double so
+    the DuckDB oracle reproduces it bit-exactly.  Degenerate constant
+    vectors (max == min) quantize to all-zeros via the scale guard.
+    """
+    dm = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    mn, mx = F.array_min(dm), F.array_max(dm)
+    scale = (mx - mn) / F.lit(255.0)
+    q = F.when(mx == mn, F.transform(dm, lambda x: F.lit(0))).otherwise(
+        F.transform(dm, lambda x: F.round((x - mn) / scale).cast("int"))
+    )
+    return emb.select(
+        "vec_id",
+        F.round(mn, 6).alias("q_min"),
+        F.round(scale, 9).alias("q_scale"),
+        q.alias("q_vec"),
+    )

@@ -130,3 +130,82 @@ def text_stats(docs: DataFrame) -> DataFrame:
         quality_score(t).alias("quality"),
         fingerprint(t).alias("fp"),
     )
+
+
+def chunk_windows(
+    docs: DataFrame, chunk_tokens: int = 50, stride: int = 40
+) -> DataFrame:
+    """Split each document into overlapping token windows — the
+    training-corpus chunking step (context-window sized pieces with
+    stride overlap so no boundary context is lost).
+
+    Pure codegen: tokenize once, generate start offsets with
+    ``sequence``, slice per offset, explode.  Work ∝ output tokens;
+    no shuffle at all — chunking pipelines inside the scan stage.
+    """
+    t = F.col("text")
+    toks = tokens(t)
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / stride).cast("int").alias("chunk_idx"),
+            F.slice(toks, s + 1, chunk_tokens).alias("ctoks"),
+        ),
+    )
+    return (
+        docs.select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.size("c.ctoks").alias("n_chunk_tokens"),
+            F.concat_ws(" ", F.col("c.ctoks")).alias("chunk_text"),
+        )
+    )
+
+
+def pack_sequences(docs: DataFrame, capacity: int = 512) -> DataFrame:
+    """Sequence packing: assign documents (in deterministic doc_id
+    order) to context-window bins of ~`capacity` tokens by cumulative
+    token count — bin = floor(cumsum_before / capacity).
+
+    The packing approximation every streaming packer uses (a bin can
+    overflow by at most one document, never underfill by more): a
+    global running sum, NOT a global single-task window.  Implemented
+    as the distributed two-pass prefix sum — (1) range-partition by
+    doc_id and cumsum within each partition, (2) per-partition totals
+    (a handful of rows) collected, prefix-offset, and broadcast back.
+    Scales to any row count; a plain ``Window.orderBy`` would funnel
+    the whole table through one task.
+    """
+    from pyspark.sql import Window
+
+    n_tok = token_count(F.col("text"))
+    parts = docs.select("doc_id", n_tok.alias("n_tok")).repartitionByRange(
+        "doc_id"
+    ).withColumn("__pid", F.spark_partition_id())
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = parts.withColumn("__cum_local", F.sum("n_tok").over(w))
+    totals = sorted(
+        local.groupBy("__pid").agg(F.max("__cum_local").alias("t")).collect(),
+        key=lambda r: r["__pid"],
+    )
+    rows, acc = [], 0
+    for r in totals:  # range partitions are key-ordered → prefix is exact
+        rows.append((r["__pid"], acc))
+        acc += r["t"]
+    off_df = docs.sparkSession.createDataFrame(
+        rows or [(0, 0)], "__pid int, __off long"
+    )
+    cum_before = F.col("__cum_local") + F.col("__off") - F.col("n_tok")
+    return local.join(F.broadcast(off_df), on="__pid", how="left").select(
+        "doc_id",
+        "n_tok",
+        F.floor(cum_before / capacity).cast("int").alias("bin_id"),
+    )

@@ -353,6 +353,30 @@ def q_merge_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of embeddings (4× storage shrink before
+    ANN) — pure codegen array math, bit-exact vs the oracle."""
+    from rdbms_subsetter_spark.operators.similarity import quantize_int8
+
+    cat = Catalog(spark, sf_dir)
+    return quantize_int8(cat["embeddings"])
+
+
+def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking of documents (50-token chunks,
+    stride 40) — the corpus → training-example expansion step."""
+    cat = Catalog(spark, sf_dir)
+    return text.chunk_windows(cat["documents"], chunk_tokens=50, stride=40)
+
+
+def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing into 512-token context bins via distributed
+    two-pass prefix sum (range partitions + broadcast offsets) — the
+    oracle's single global window proves the distributed cumsum exact."""
+    cat = Catalog(spark, sf_dir)
+    return text.pack_sequences(cat["documents"], capacity=512)
+
+
 # ---------------------------------------------------------------------------
 # UDF surface: scalar Arrow pandas UDF
 # ---------------------------------------------------------------------------
@@ -499,6 +523,9 @@ def ext3_queries() -> dict:
         "sql_scalar_subquery": q_sql_scalar_subquery,
         "agg_grouping_sets": q_agg_grouping_sets,
         "agg_custdist": q_agg_custdist,
+        "embed_quantize_int8": q_embed_quantize_int8,
+        "doc_chunk_windows": q_doc_chunk_windows,
+        "doc_pack_sequences": q_doc_pack_sequences,
         "window_first_last_nth": q_window_first_last_nth,
         "array_higher_order": q_array_higher_order,
         "udf_scalar_pandas": q_udf_scalar_pandas,
@@ -586,6 +613,36 @@ SELECT vec_id,
                               list_reverse(CAST(embedding AS DOUBLE[]))), 6)
          AS rev_dot
 FROM embeddings
+""",
+        "embed_quantize_int8": """
+WITH m AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         list_min(CAST(embedding AS DOUBLE[])) AS mn,
+         list_max(CAST(embedding AS DOUBLE[])) AS mx
+  FROM embeddings)
+SELECT vec_id,
+       round(mn, 6) AS q_min,
+       round((mx - mn) / 255.0, 9) AS q_scale,
+       CASE WHEN mx = mn THEN list_transform(e, x -> 0)
+            ELSE list_transform(e, x -> CAST(round((x - mn) / ((mx - mn) / 255.0)) AS INT))
+       END AS q_vec
+FROM m
+""",
+        "doc_chunk_windows": f"""
+WITH t AS (SELECT doc_id, {_RAW_TOKS} AS l FROM documents)
+SELECT doc_id,
+       CAST(s // 40 AS INT) AS chunk_idx,
+       CAST(len(list_slice(l, CAST(s + 1 AS INT), CAST(s + 50 AS INT))) AS INT) AS n_chunk_tokens,
+       array_to_string(list_slice(l, CAST(s + 1 AS INT), CAST(s + 50 AS INT)), ' ') AS chunk_text
+FROM t, unnest(range(0, greatest(len(l), 1), 40)) AS u(s)
+""",
+        "doc_pack_sequences": f"""
+SELECT doc_id, n_tok,
+       CAST(floor((cum - n_tok) * 1.0 / 512) AS INT) AS bin_id
+FROM (SELECT doc_id, len({_RAW_TOKS}) AS n_tok,
+             sum(len({_RAW_TOKS})) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM documents)
 """,
         "udf_scalar_pandas": """
 SELECT event_id,
