@@ -61,6 +61,13 @@ HEADLINE = [
     "agg_custdist",
     "array_higher_order",
     "udf_scalar_pandas",
+    "dedup_cc_clusters",
+    "docpipe_quality_filter",
+    "events_gapfill",
+    "merge_upsert_latest",
+    "doc_chunk_windows",
+    "doc_pack_sequences",
+    "embed_quantize_int8",
 ]
 
 

@@ -97,6 +97,24 @@ def q_sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpivot/melt (the inverse of pivot): wide part metrics to long
+    (p_partkey, metric, val) — an Expand ×2 inside the scan stage, no
+    shuffle."""
+    cat = Catalog(spark, sf_dir)
+    wide = cat["part"].select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").alias("p_retailprice"),
+    )
+    return wide.unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    ).withColumn("val", F.round("val", 2))
+
+
 def q_sql_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NOT IN over a NULLABLE subquery — three-valued logic makes this a
     distinct physical operator (null-aware anti join: BHJ LeftAnti with
@@ -531,6 +549,7 @@ def ext3_queries() -> dict:
         "udf_scalar_pandas": q_udf_scalar_pandas,
         "sql_correlated_scalar": q_sql_correlated_scalar,
         "sql_not_in_null_aware": q_sql_not_in_null_aware,
+        "agg_unpivot": q_agg_unpivot,
         "set_ops_all": q_set_ops_all,
         "dedup_cc_clusters": q_dedup_cc_clusters,
         "merge_upsert_latest": q_merge_upsert_latest,
@@ -656,6 +675,12 @@ SELECT p_partkey, p_brand,
 FROM part p
 WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM part p2
                        WHERE p2.p_brand = p.p_brand)
+""",
+        "agg_unpivot": """
+SELECT p_partkey, 'p_size' AS metric, round(CAST(p_size AS DOUBLE), 2) AS val
+FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice', round(p_retailprice, 2) FROM part
 """,
         "sql_not_in_null_aware": """
 SELECT c_custkey, c_nationkey FROM customer
