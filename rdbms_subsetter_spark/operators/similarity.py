@@ -344,14 +344,25 @@ def quantize_int8(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     Pure codegen array expressions (no UDF); all arithmetic in double so
     the DuckDB oracle reproduces it bit-exactly.  Degenerate constant
     vectors (max == min) quantize to all-zeros via the scale guard.
+
+    Staged through two projections so the cast array / min / max are
+    each computed ONCE — codegen does not common-subexpression higher-
+    order lambdas, and the naive single-select form re-traverses the
+    array per referencing expression (measured 0.99→0.21 s at sf0.1).
     """
     dm = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    mn, mx = F.array_min(dm), F.array_max(dm)
-    scale = (mx - mn) / F.lit(255.0)
-    q = F.when(mx == mn, F.transform(dm, lambda x: F.lit(0))).otherwise(
-        F.transform(dm, lambda x: F.round((x - mn) / scale).cast("int"))
+    s = emb.select("vec_id", dm.alias("__dm")).select(
+        "vec_id",
+        "__dm",
+        F.array_min("__dm").alias("__mn"),
+        F.array_max("__dm").alias("__mx"),
     )
-    return emb.select(
+    mn, mx = F.col("__mn"), F.col("__mx")
+    scale = (mx - mn) / F.lit(255.0)
+    q = F.when(mx == mn, F.transform("__dm", lambda x: F.lit(0))).otherwise(
+        F.transform("__dm", lambda x: F.round((x - mn) / scale).cast("int"))
+    )
+    return s.select(
         "vec_id",
         F.round(mn, 6).alias("q_min"),
         F.round(scale, 9).alias("q_scale"),
