@@ -97,6 +97,39 @@ def q_sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE BETWEEN INTERVAL window: per user, events and value-sum in
+    the trailing hour — the time-based sliding frame (vs the row frame
+    in window_lag_lead_ntile)."""
+    cat = Catalog(spark, sf_dir)
+    cat["events"].createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT event_id, user_id, ts,
+               count(*) OVER w AS n_trailing_1h,
+               round(sum(value) OVER w, 2) AS sum_trailing_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        """
+    )
+
+
+def q_agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface: correlation, covariance, stddev,
+    variance, and boolean aggregates per returnflag."""
+    cat = Catalog(spark, sf_dir)
+    li = cat["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qp"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_pop("l_quantity"), 6).alias("var_qty"),
+        F.bool_and(F.col("l_discount") < 0.5).alias("all_mild_discount"),
+        F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+    )
+
+
 def q_agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """unpivot/melt (the inverse of pivot): wide part metrics to long
     (p_partkey, metric, val) — an Expand ×2 inside the scan stage, no
@@ -550,6 +583,8 @@ def ext3_queries() -> dict:
         "sql_correlated_scalar": q_sql_correlated_scalar,
         "sql_not_in_null_aware": q_sql_not_in_null_aware,
         "agg_unpivot": q_agg_unpivot,
+        "window_time_range": q_window_time_range,
+        "agg_stats_moments": q_agg_stats_moments,
         "set_ops_all": q_set_ops_all,
         "dedup_cc_clusters": q_dedup_cc_clusters,
         "merge_upsert_latest": q_merge_upsert_latest,
@@ -675,6 +710,24 @@ SELECT p_partkey, p_brand,
 FROM part p
 WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM part p2
                        WHERE p2.p_brand = p.p_brand)
+""",
+        "window_time_range": """
+SELECT event_id, user_id, ts,
+       count(*) OVER w AS n_trailing_1h,
+       round(sum(value) OVER w, 2) AS sum_trailing_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""",
+        "agg_stats_moments": """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp,
+       round(stddev_samp(l_extendedprice), 4) AS sd_price,
+       round(var_pop(l_quantity), 6) AS var_qty,
+       bool_and(l_discount < 0.5) AS all_mild_discount,
+       bool_or(l_tax > 0.07) AS any_high_tax
+FROM lineitem GROUP BY l_returnflag
 """,
         "agg_unpivot": """
 SELECT p_partkey, 'p_size' AS metric, round(CAST(p_size AS DOUBLE), 2) AS val
