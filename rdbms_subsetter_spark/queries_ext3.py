@@ -489,6 +489,35 @@ def q_agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join: orders and lineitem bucketed on the
+    join key (8 buckets, sorted), joined WITHOUT any exchange — the
+    pre-partitioned layout that makes the recurring fact-fact join at
+    100 TB a map-side merge.  Zero-shuffle shape asserted in
+    tests/test_scale_plans.py; the oracle is the plain join."""
+    import hashlib
+
+    from rdbms_subsetter_spark.partitioning import write_bucketed
+    from rdbms_subsetter_spark.session import pin_session_conf
+
+    pin_session_conf(spark)
+    cat = Catalog(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    ob, lb = f"orders_bq_{tag}", f"lineitem_bq_{tag}"
+    write_bucketed(cat["orders"], ob, ["o_orderkey"], n_buckets=8, sort_cols=["o_orderkey"])
+    write_bucketed(cat["lineitem"], lb, ["l_orderkey"], n_buckets=8, sort_cols=["l_orderkey"])
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        spark.table(lb)
+        .join(spark.table(ob), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(rev), 2).alias("revenue"),
+        )
+    )
+
+
 def q_orc_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders → ORC → read back → aggregate; the oracle reads the
     original parquet, so any columnar-format round-trip loss breaks
@@ -594,6 +623,7 @@ def ext3_queries() -> dict:
         "partitioned_source_prune": q_partitioned_source_prune,
         "agg_salted_skew": q_agg_salted_skew,
         "orc_source_agg": q_orc_source_agg,
+        "join_bucketed": q_join_bucketed,
         "events_gapfill": q_events_gapfill,
         "streaming_dedup_keys": q_streaming_dedup_keys,
         "streaming_static_join": q_streaming_static_join,
@@ -828,6 +858,13 @@ SELECT DISTINCT user_id, event_type FROM events
         "agg_salted_skew": """
 SELECT l_returnflag, count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
 FROM lineitem GROUP BY l_returnflag
+""",
+        "join_bucketed": """
+SELECT o_orderpriority,
+       count(*) AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
 """,
         "orc_source_agg": """
 SELECT o_orderstatus,
