@@ -591,6 +591,30 @@ def q_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_events.streaming_static_join(spark, sf_dir)
 
 
+def q_streaming_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch parquet sink (batchId-keyed idempotent writes),
+    read back and aggregated; bounded replay ≡ the batch filter →
+    oracle-checked."""
+    return streaming_events.streaming_foreachbatch_sink(spark, sf_dir)
+
+
+def q_scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI error-safe scalar surface: try_divide / try_cast return NULL
+    where strict evaluation would raise — the semantics batch pipelines
+    need to survive dirty data without per-row exception handling."""
+    cat = Catalog(spark, sf_dir)
+    return cat["lineitem"].select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.try_divide(F.col("l_extendedprice"), F.col("l_discount")), 4).alias(
+            "price_per_discount"  # NULL where discount = 0
+        ),
+        F.try_divide(F.lit(1.0), F.col("l_tax") - F.col("l_tax")).alias("div_zero"),
+        F.col("l_returnflag").try_cast("int").alias("flag_as_int"),  # NULL
+        F.col("l_orderkey").cast("string").try_cast("int").alias("key_roundtrip"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -627,6 +651,8 @@ def ext3_queries() -> dict:
         "events_gapfill": q_events_gapfill,
         "streaming_dedup_keys": q_streaming_dedup_keys,
         "streaming_static_join": q_streaming_static_join,
+        "streaming_foreachbatch": q_streaming_foreachbatch,
+        "scalar_try_functions": q_scalar_try_functions,
     }
 
 
@@ -899,5 +925,23 @@ SELECT c_mktsegment,
        round(sum(value), 2) AS sum_value
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment
+""",
+        "streaming_foreachbatch": """
+SELECT event_type,
+       count(*) AS n_events,
+       round(sum(round(value, 2)), 2) AS sum_value,
+       min(event_id) AS min_event,
+       max(event_id) AS max_event
+FROM events WHERE value > 50.0
+GROUP BY event_type
+""",
+        "scalar_try_functions": """
+SELECT l_orderkey, l_linenumber,
+       round(CASE WHEN l_discount = 0 THEN NULL
+                  ELSE l_extendedprice / l_discount END, 4) AS price_per_discount,
+       CAST(NULL AS DOUBLE) AS div_zero,
+       TRY_CAST(l_returnflag AS INT) AS flag_as_int,
+       TRY_CAST(CAST(l_orderkey AS VARCHAR) AS INT) AS key_roundtrip
+FROM lineitem
 """,
     }

@@ -13,6 +13,8 @@ stream query has a batch twin the driver hashes instead).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
@@ -220,4 +222,46 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return run_stream_to_memory(
         spark, agg, name="stream_static_join", output_mode="complete"
+    )
+
+
+def streaming_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: each micro-batch is written to a parquet
+    directory through the batch writer API — the pattern for sinks
+    Structured Streaming has no native writer for (JDBC, MERGE
+    targets...).  batchId is the idempotence key: reprocessed batches
+    overwrite their own subdirectory instead of double-appending
+    (exactly-once on top of at-least-once delivery).
+
+    Bounded replay → the sink holds exactly the filtered stream →
+    DuckDB-checkable.
+    """
+    import hashlib
+    import shutil
+    import tempfile
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"rss_febatch_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    ev = events_stream(spark, sf_dir).filter(F.col("value") > 50.0).select(
+        "event_id", "user_id", "event_type", F.round("value", 2).alias("value")
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    q = ev.writeStream.foreachBatch(write_batch).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sunk = spark.read.option("basePath", out_dir).parquet(f"{out_dir}/batch_id=*")
+    return sunk.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.min("event_id").alias("min_event"),
+        F.max("event_id").alias("max_event"),
     )
