@@ -11,6 +11,8 @@ never numpy).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from rdbms_subsetter_spark.catalog import Catalog
@@ -127,6 +129,21 @@ def q_agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.var_pop("l_quantity"), 6).alias("var_qty"),
         F.bool_and(F.col("l_discount") < 0.5).alias("all_mild_discount"),
         F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+    )
+
+
+def q_agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-building aggregation: per nation, the sorted distinct set
+    of customer market segments (collect_set made deterministic by
+    array_sort) and the customer count."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat["customer"]
+        .groupBy("c_nationkey")
+        .agg(
+            F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+            F.count(F.lit(1)).alias("n_cust"),
+        )
     )
 
 
@@ -500,10 +517,20 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rdbms_subsetter_spark.partitioning import write_bucketed
     from rdbms_subsetter_spark.session import pin_session_conf
 
+    import shutil
+    from urllib.parse import urlparse
+
     pin_session_conf(spark)
     cat = Catalog(spark, sf_dir)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     ob, lb = f"orders_bq_{tag}", f"lineitem_bq_{tag}"
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in (ob, lb):
+        # a prior PROCESS may have left the managed location on disk while
+        # this session's in-memory catalog has no such table — saveAsTable
+        # then raises LOCATION_ALREADY_EXISTS; drop both sides first
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
     write_bucketed(cat["orders"], ob, ["o_orderkey"], n_buckets=8, sort_cols=["o_orderkey"])
     write_bucketed(cat["lineitem"], lb, ["l_orderkey"], n_buckets=8, sort_cols=["l_orderkey"])
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -636,6 +663,7 @@ def ext3_queries() -> dict:
         "sql_correlated_scalar": q_sql_correlated_scalar,
         "sql_not_in_null_aware": q_sql_not_in_null_aware,
         "agg_unpivot": q_agg_unpivot,
+        "agg_collect_set": q_agg_collect_set,
         "window_time_range": q_window_time_range,
         "agg_stats_moments": q_agg_stats_moments,
         "set_ops_all": q_set_ops_all,
@@ -766,6 +794,12 @@ SELECT p_partkey, p_brand,
 FROM part p
 WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM part p2
                        WHERE p2.p_brand = p.p_brand)
+""",
+        "agg_collect_set": """
+SELECT c_nationkey,
+       list_sort(list(DISTINCT c_mktsegment)) AS segments,
+       count(*) AS n_cust
+FROM customer GROUP BY c_nationkey
 """,
         "window_time_range": """
 SELECT event_id, user_id, ts,
