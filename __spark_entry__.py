@@ -23,6 +23,7 @@ from rdbms_subsetter_spark.queries_core import core_oracles, core_queries  # noq
 from rdbms_subsetter_spark.queries_ext import ext_oracles, ext_queries  # noqa: E402
 from rdbms_subsetter_spark.queries_ext2 import ext2_oracles, ext2_queries  # noqa: E402
 from rdbms_subsetter_spark.queries_ext3 import ext3_oracles, ext3_queries  # noqa: E402
+from rdbms_subsetter_spark.queries_ext4 import ext4_oracles, ext4_queries  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -36,6 +37,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(ext_queries())
     out.update(ext2_queries())
     out.update(ext3_queries())
+    out.update(ext4_queries())
     return out
 
 
@@ -46,6 +48,7 @@ def oracle_sql() -> dict[str, str]:
         **ext_oracles(),
         **ext2_oracles(),
         **ext3_oracles(),
+        **ext4_oracles(),
     }.items():
         if sql is not None:
             out[name] = sql

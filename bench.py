@@ -68,6 +68,8 @@ HEADLINE = [
     "doc_chunk_windows",
     "doc_pack_sequences",
     "embed_quantize_int8",
+    "sql_recursive_cte",
+    "text_repetition_ngrams",
 ]
 
 
