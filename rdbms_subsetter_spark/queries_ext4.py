@@ -196,6 +196,73 @@ def q_text_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# source connectors: XML, binaryFile, custom Python DataSource
+# ---------------------------------------------------------------------------
+
+
+def q_xml_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part → XML (Spark 4 native XML source) → read back (explicit
+    schema) → aggregate; the oracle reads the original parquet, so any
+    markup round-trip loss or schema drift breaks the hash."""
+    from rdbms_subsetter_spark.sources.io import xml_roundtrip
+
+    cat = Catalog(spark, sf_dir)
+    rt = xml_roundtrip(cat["part"], tag=f"{sf_dir}/part")
+    return rt.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.sum("p_retailprice"), 2).alias("sum_price"),
+        F.min("p_partkey").alias("min_key"),
+        F.max("p_partkey").alias("max_key"),
+    )
+
+
+def q_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-object ingestion via the ``binaryFile`` source — how an
+    image/audio corpus enters the engine at scale (one row per object:
+    path/length/content).  Documents are materialized as .bin files,
+    scanned back distributed, and fingerprinted (md5 + byte length)
+    JVM-side; the oracle recomputes both from the original text column."""
+    from rdbms_subsetter_spark.sources.io import binary_doc_fixture
+
+    cat = Catalog(spark, sf_dir)
+    d = binary_doc_fixture(cat["documents"], tag=f"{sf_dir}/documents")
+    return spark.read.format("binaryFile").load(d).select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.length("content").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
+
+
+def q_pysource_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 ``pyspark.sql.datasource``):
+    partition-parallel deterministic generator — 8 partitions × 1000
+    rows produced executor-side (no driver materialization), then a
+    per-partition aggregate.  The value formula is pure integer/IEEE
+    (multiples of 1/8), so sums are exact and order-independent and the
+    DuckDB oracle reproduces them from generate_series bit-exactly."""
+    from rdbms_subsetter_spark.sources.pysource import RangeGenDataSource
+
+    try:
+        spark.dataSource.register(RangeGenDataSource)
+    except Exception:
+        pass  # already registered in this session
+    df = (
+        spark.read.format("rangegen")
+        .option("partitions", 8)
+        .option("rowsPerPartition", 1000)
+        .load()
+    )
+    return df.groupBy("part").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("val"), 2).alias("sum_val"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -207,6 +274,9 @@ def ext4_queries() -> dict:
         "agg_argminmax": q_agg_argminmax,
         "sql_lateral_topk": q_sql_lateral_topk,
         "text_repetition_ngrams": q_text_repetition_ngrams,
+        "xml_source_agg": q_xml_source_agg,
+        "binaryfile_source": q_binaryfile_source,
+        "pysource_generate": q_pysource_generate,
     }
 
 
@@ -245,5 +315,28 @@ SELECT doc_id,
        len(list_distinct(tri)) AS n_uniq,
        round(1 - len(list_distinct(tri)) / len(tri), 4) AS rep_frac
 FROM t
+""",
+        "xml_source_agg": """
+SELECT p_brand,
+       count(*) AS n_parts,
+       round(sum(p_retailprice), 2) AS sum_price,
+       min(p_partkey) AS min_key,
+       max(p_partkey) AS max_key
+FROM part GROUP BY p_brand
+""",
+        "binaryfile_source": """
+SELECT doc_id,
+       strlen(text) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents WHERE doc_id < 64
+""",
+        "pysource_generate": """
+SELECT CAST(id // 1000 AS INT) AS part,
+       count(*) AS n,
+       round(sum((id * 7 % 1000) / 8.0), 2) AS sum_val,
+       min(id) AS min_id,
+       max(id) AS max_id
+FROM (SELECT range AS id FROM range(0, 8000))
+GROUP BY 1
 """,
     }

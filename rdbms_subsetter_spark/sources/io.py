@@ -149,6 +149,42 @@ def partitioned_roundtrip(df: DataFrame, partition_col: str, tag: str) -> DataFr
     return df.sparkSession.read.parquet(out)
 
 
+def xml_roundtrip(df: DataFrame, tag: str, row_tag: str = "row") -> DataFrame:
+    """Write *df* as XML (Spark 4 native XML source) and read it back
+    with the explicit original schema — the fourth interchange format
+    alongside CSV/JSON/ORC.  Values must survive the text round-trip
+    bit-exactly for the oracle gate."""
+    out = _scratch_dir("xml", tag)
+    df.write.mode("overwrite").format("xml").option("rowTag", row_tag).save(out)
+    return (
+        df.sparkSession.read.schema(df.schema)
+        .format("xml")
+        .option("rowTag", row_tag)
+        .load(out)
+    )
+
+
+def binary_doc_fixture(df: DataFrame, tag: str, limit: int = 64) -> str:
+    """Materialize the first *limit* documents (by doc_id) as one binary
+    file each (``doc_<id>.bin`` = UTF-8 text bytes) and return the
+    directory — the ingestion fixture for the ``binaryFile`` source.
+
+    Fixture creation collects *limit* small rows driver-side (test
+    scaffolding, not the operator); the binaryFile SCAN over the
+    resulting directory is the distributed path under test — at 100 TB
+    that scan is how image/audio corpora enter the engine (one row per
+    object: path, length, content), feeding the multimodal decode
+    pipeline (operators/multimodal.py).
+    """
+    out = _scratch_dir("bin", tag)
+    os.makedirs(out, exist_ok=True)
+    rows = df.filter(f"doc_id < {limit}").select("doc_id", "text").collect()
+    for r in rows:
+        with open(os.path.join(out, f"doc_{r['doc_id']}.bin"), "wb") as fh:
+            fh.write(r["text"].encode("utf-8"))
+    return out
+
+
 def orc_roundtrip(df: DataFrame, tag: str) -> DataFrame:
     """Write *df* as ORC and read it back — the third columnar format
     alongside parquet (native Spark support, predicate pushdown and
