@@ -27,6 +27,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from rdbms_subsetter_spark.catalog import Catalog
+from rdbms_subsetter_spark.queries_ext import _shingle_cte
+
+# near-dup pair graph at Jaccard >= 0.5 — the same derivation proven by
+# dedup_ngram_jaccard / dedup_cc_clusters parity (queries_ext3)
+_PAIRS_CTE = f"""{_shingle_cte(3)},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT d1, d2
+  FROM shared JOIN sizes n1 ON d1 = n1.doc_id JOIN sizes n2 ON d2 = n2.doc_id
+  WHERE shared * 1.0 / (n1.n_sh + n2.n_sh - shared) >= 0.5)"""
 
 # ---------------------------------------------------------------------------
 # recursive CTE — FK reachability as declarative SQL
@@ -196,6 +210,105 @@ def q_text_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# graph + behavioral analytics
+# ---------------------------------------------------------------------------
+
+
+def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the near-dup similarity graph — the
+    classic distributed wedge-join workload (edges (a<b) ⋈ (b<c) ⋈ (a,c)
+    check).  Ordered node ids mean each triangle is enumerated exactly
+    once; the edge list feeds three join sides, so it is materialized
+    once (localCheckpoint) instead of re-running the similarity self-join
+    per consumer.  At scale the wedge join shuffles on single node keys —
+    degree skew is the risk, and the (a<b) orientation already halves the
+    heaviest hubs' out-degree."""
+    from rdbms_subsetter_spark.operators import dedup
+
+    cat = Catalog(spark, sf_dir)
+    e = (
+        dedup.ngram_jaccard_pairs(cat["documents"], n=3, threshold=0.5)
+        .select(F.col("doc_id_1").alias("a"), F.col("doc_id_2").alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    tri = (
+        e.join(
+            e.select(F.col("a").alias("b"), F.col("b").alias("c")), on="b"
+        )
+        .join(
+            e.select(F.col("a"), F.col("b").alias("c")), on=["a", "c"]
+        )
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase): stage k counts
+    users whose first click follows their first view, and whose first
+    purchase follows that click.  Three aggregates all keyed on user_id
+    — co-partitioned, so the two enrichment joins reuse the same hash
+    partitioning (no extra shuffle of the big side at scale)."""
+    cat = Catalog(spark, sf_dir)
+    ev = cat["events"].select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, on="user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, on="user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    return (
+        v.join(c, on="user_id", how="left")
+        .join(p, on="user_id", how="left")
+        .select(
+            F.when(F.col("t2").isNotNull(), F.lit(3))
+            .when(F.col("t1").isNotNull(), F.lit(2))
+            .otherwise(F.lit(1))
+            .alias("funnel_stage")
+        )
+        .groupBy("funnel_stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, distinct
+    active users per (cohort_day, day_offset).  First-touch agg + one
+    co-keyed join + distinct-agg — the standard product-analytics rollup,
+    all on the user_id partitioning."""
+    cat = Catalog(spark, sf_dir)
+    ev = cat["events"].select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(F.to_date(F.min("ts")).alias("cohort_day"))
+    act = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        act.join(first, on="user_id")
+        .select(
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # source connectors: XML, binaryFile, custom Python DataSource
 # ---------------------------------------------------------------------------
 
@@ -263,6 +376,20 @@ def q_pysource_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# streaming: stream-stream join
+# ---------------------------------------------------------------------------
+
+
+def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join (clicks × purchases within
+    1 hour, per user); bounded replay emits exactly the batch interval
+    join → oracle-checked."""
+    from rdbms_subsetter_spark.streaming import events as streaming_events
+
+    return streaming_events.streaming_stream_join(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -274,9 +401,13 @@ def ext4_queries() -> dict:
         "agg_argminmax": q_agg_argminmax,
         "sql_lateral_topk": q_sql_lateral_topk,
         "text_repetition_ngrams": q_text_repetition_ngrams,
+        "graph_triangle_count": q_graph_triangle_count,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
         "xml_source_agg": q_xml_source_agg,
         "binaryfile_source": q_binaryfile_source,
         "pysource_generate": q_pysource_generate,
+        "streaming_stream_join": q_streaming_stream_join,
     }
 
 
@@ -316,6 +447,45 @@ SELECT doc_id,
        round(1 - len(list_distinct(tri)) / len(tri), 4) AS rep_frac
 FROM t
 """,
+        "graph_triangle_count": f"""
+WITH {_PAIRS_CTE},
+tri AS (
+  SELECT ab.d1 AS a, ab.d2 AS b, bc.d2 AS c
+  FROM pairs ab
+  JOIN pairs bc ON ab.d2 = bc.d1
+  JOIN pairs ac ON ac.d1 = ab.d1 AND ac.d2 = bc.d2),
+nodes AS (
+  SELECT a AS doc_id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri)
+SELECT doc_id, count(*) AS n_triangles FROM nodes GROUP BY doc_id
+""",
+        "events_funnel": """
+WITH v AS (SELECT user_id, min(ts) AS t0 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e
+      JOIN v ON e.user_id = v.user_id AND e.ts > v.t0
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      JOIN c ON e.user_id = c.user_id AND e.ts > c.t1
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT CASE WHEN t2 IS NOT NULL THEN 3
+            WHEN t1 IS NOT NULL THEN 2
+            ELSE 1 END AS funnel_stage,
+       count(*) AS n_users
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+GROUP BY 1
+""",
+        "events_retention": """
+WITH first AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+               FROM events GROUP BY user_id),
+act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+SELECT cohort_day,
+       date_diff('day', cohort_day, day) AS day_offset,
+       count(DISTINCT user_id) AS n_users
+FROM act JOIN first USING (user_id)
+GROUP BY 1, 2
+""",
         "xml_source_agg": """
 SELECT p_brand,
        count(*) AS n_parts,
@@ -338,5 +508,16 @@ SELECT CAST(id // 1000 AS INT) AS part,
        max(id) AS max_id
 FROM (SELECT range AS id FROM range(0, 8000))
 GROUP BY 1
+""",
+        "streaming_stream_join": """
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.ts AS click_ts,
+       p.ts AS purchase_ts
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 """,
     }

@@ -225,6 +225,52 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: each click joined
+    to the same user's purchases within the following hour.  Both sides
+    carry watermarks and the join condition bounds event time in BOTH
+    directions — that pair is what lets Spark expire join state; without
+    it state grows forever.
+
+    Append-mode inner joins emit every match (the watermark governs
+    state cleanup, not emission), so a bounded replay emits exactly the
+    batch interval join → DuckDB-checkable.  At scale both sides shuffle
+    on user_id once and matching is per-partition; state per key is
+    bounded by the 1h window × arrival rate.
+    """
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND "
+            "purchase_ts >= click_ts AND "
+            "purchase_ts <= click_ts + INTERVAL 1 HOUR"
+        ),
+    ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
+    return run_stream_to_memory(
+        spark, joined, name="stream_stream_join", output_mode="append"
+    )
+
+
 def streaming_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch sink: each micro-batch is written to a parquet
     directory through the batch writer API — the pattern for sinks
