@@ -24,6 +24,7 @@ from rdbms_subsetter_spark.queries_ext import ext_oracles, ext_queries  # noqa: 
 from rdbms_subsetter_spark.queries_ext2 import ext2_oracles, ext2_queries  # noqa: E402
 from rdbms_subsetter_spark.queries_ext3 import ext3_oracles, ext3_queries  # noqa: E402
 from rdbms_subsetter_spark.queries_ext4 import ext4_oracles, ext4_queries  # noqa: E402
+from rdbms_subsetter_spark.queries_ext5 import ext5_oracles, ext5_queries  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -38,6 +39,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(ext2_queries())
     out.update(ext3_queries())
     out.update(ext4_queries())
+    out.update(ext5_queries())
     return out
 
 
@@ -49,6 +51,7 @@ def oracle_sql() -> dict[str, str]:
         **ext2_oracles(),
         **ext3_oracles(),
         **ext4_oracles(),
+        **ext5_oracles(),
     }.items():
         if sql is not None:
             out[name] = sql

@@ -70,6 +70,12 @@ HEADLINE = [
     "embed_quantize_int8",
     "sql_recursive_cte",
     "text_repetition_ngrams",
+    "graph_triangle_count",
+    "events_funnel",
+    "events_retention",
+    "mixture_weighted_sample",
+    "decontaminate_ngram",
+    "dedup_semdedup",
 ]
 
 

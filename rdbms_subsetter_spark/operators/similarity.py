@@ -368,3 +368,82 @@ def quantize_int8(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
         F.round(scale, 9).alias("q_scale"),
         q.alias("q_vec"),
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    k-means-cluster the embedding space, then drop, within each
+    cluster, every vector that has a lower-id near-duplicate at
+    ``cosine >= threshold``.  Returns the per-cluster summary
+    ``(cell, n_vectors, n_kept)``.
+
+    The scale shape is the whole point: pairwise cosine over 100 TB of
+    embeddings is O(n²) and impossible, but within a k-means cell it is
+    O(Σ|cell|²) — centroids are fit driver-side on a bounded sample
+    (same convention as ``ivf_topk``; faiss does the same), assignment
+    is one Arrow-batched ``mapInPandas`` scan, and the intra-cell
+    pairwise join shuffles once on the cell id.  Cell-size skew is the
+    risk at scale; production runs re-split oversized cells (not needed
+    at test SF).  Iterative k-means → not SQL-expressible → rows-only
+    correctness check; the keep-rule itself (drop b iff ∃ a<b in-cell
+    with cos(a,b) ≥ t) is asserted in unit tests.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    sample = np.array(
+        [r["embedding"] for r in corpus.select("embedding").limit(4096).collect()],
+        dtype=np.float64,
+    )
+    centers = _lloyd_kmeans(sample, k=n_clusters, iters=10, seed=seed)
+    bc_centers = corpus.sparkSession.sparkContext.broadcast(centers)
+
+    assign_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("cell", T.IntegerType()),
+        ]
+    )
+
+    def assign(batches):
+        ctr = bc_centers.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            d2 = ((mat[:, None, :] - ctr[None, :, :]) ** 2).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "cell": d2.argmin(axis=1).astype("int32"),
+                }
+            )
+
+    cells = corpus.select("vec_id", "embedding").mapInPandas(
+        assign, assign_schema
+    ).localCheckpoint(eager=False)
+
+    a = cells.select("cell", F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
+    b = cells.select("cell", F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
+    cos = dot(F.col("a_emb"), F.col("b_emb")) / (norm(F.col("a_emb")) * norm(F.col("b_emb")))
+    dropped = (
+        b.join(a, on="cell")
+        .filter((F.col("a_id") < F.col("b_id")) & (cos >= F.lit(threshold)))
+        .select("cell", F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        cells.join(dropped.select("vec_id"), on="vec_id", how="left_anti")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .join(cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors")), on="cell")
+        .select("cell", "n_vectors", "n_kept")
+    )

@@ -143,3 +143,42 @@ def test_connected_components_path_graph(spark):
         1: (1, 6), 2: (1, 6), 3: (1, 6), 4: (1, 6), 5: (1, 6), 6: (1, 6),
         10: (10, 2), 11: (10, 2),
     }
+
+
+def test_semdedup_keep_rule_vs_brute_force(spark):
+    """semdedup's keep-rule: within a cell, drop b iff some a<b has
+    cosine(a,b) >= threshold.  Recompute with numpy over the same
+    deterministic cell assignment and compare the per-cell summary."""
+    import numpy as np
+
+    sf_dir = "/root/testdata/sf0.001"
+    from rdbms_subsetter_spark.catalog import Catalog
+
+    emb = Catalog(spark, sf_dir)["embeddings"]
+    got = {
+        r["cell"]: (r["n_vectors"], r["n_kept"])
+        for r in similarity.semdedup(emb, n_clusters=8, threshold=0.95, seed=42).collect()
+    }
+
+    rows = sorted(emb.select("vec_id", "embedding").collect(), key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    centers = similarity._lloyd_kmeans(mat[:4096], k=8, iters=10, seed=42)
+    cells = ((mat[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    want = {}
+    for c in np.unique(cells):
+        m = cells == c
+        cid, cv = ids[m], normed[m]
+        cos = cv @ cv.T
+        dropped = set()
+        order = np.argsort(cid)
+        for bi in order:
+            for ai in order:
+                if cid[ai] >= cid[bi]:
+                    break
+                if cos[ai, bi] >= 0.95:
+                    dropped.add(cid[bi])
+                    break
+        want[int(c)] = (len(cid), len(cid) - len(dropped))
+    assert got == want
