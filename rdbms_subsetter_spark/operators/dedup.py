@@ -54,11 +54,20 @@ def drop_exact_duplicates(docs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+def shingles(docs: DataFrame, n: int = 3, hashed: bool = False) -> DataFrame:
     """Distinct word n-gram shingles per doc: (doc_id, shingle).
 
     Built with ``transform(sequence(...))`` over the token array —
     stays in codegen; ``explode`` fans out to the inverted index.
+
+    ``hashed=True`` replaces the shingle string with ``xxhash64`` of it
+    (8-byte long) BEFORE the distinct — every downstream shuffle, sort
+    and join key shrinks from ~n-word strings to fixed 8 bytes
+    (measured 1.93→1.59 s on the jaccard self-join at sf0.1; at 100 TB
+    the shuffle-byte reduction is the dominant term).  A 64-bit
+    collision (P ≈ n_distinct²/2⁶⁵) merges two shingles — the standard
+    accepted risk in production near-dup pipelines.  Keep strings where
+    the engine-portable md5 oracle needs them (minhash, winnow).
     """
     toks = normalize(F.col("text"))
     parts = ", ".join(f"element_at(t, i + {j})" for j in range(n))
@@ -66,11 +75,12 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
         f"transform(sequence(1, greatest(size(t) - {n - 1}, 0)),"
         f" i -> concat_ws(' ', {parts}))"
     )
-    return (
-        docs.select("doc_id", tokens(toks).alias("t"))
-        .select("doc_id", F.explode(F.expr(expr)).alias("shingle"))
-        .distinct()
+    out = docs.select("doc_id", tokens(toks).alias("t")).select(
+        "doc_id", F.explode(F.expr(expr)).alias("shingle")
     )
+    if hashed:
+        out = out.select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    return out.distinct()
 
 
 def ngram_jaccard_pairs(
@@ -86,7 +96,7 @@ def ngram_jaccard_pairs(
     ``J = shared / (|A| + |B| - shared)``.  ``max_doc_freq`` drops
     ultra-common shingles before the join (skew control at scale).
     """
-    sh = shingles(docs, n)
+    sh = shingles(docs, n, hashed=True)
     if max_doc_freq is not None:
         hot = (
             sh.groupBy("shingle")

@@ -210,16 +210,22 @@ def ivf_topk(
     )
 
     def assign(batches):
+        # emit UNIT vectors (float32 on the Arrow wire): the probe join
+        # then scores with a bare dot product — hoisting the norms into
+        # this one-pass scan turns O(candidates·dim) norm work into
+        # O(n·dim), the same trick as ``semdedup``
         ctr = bc_centers.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             mat = np.array(list(pdf["embedding"]), dtype=np.float64)
             d2 = ((mat[:, None, :] - ctr[None, :, :]) ** 2).sum(axis=2)
+            nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+            unit = mat / np.where(nrm == 0, 1.0, nrm)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
-                    "embedding": pdf["embedding"],
+                    "embedding": list(unit.astype("float32")),
                     "cell": d2.argmin(axis=1).astype("int32"),
                 }
             )
@@ -234,9 +240,11 @@ def ivf_topk(
     probes = []
     for row in q_rows:
         qv = np.array(row["embedding"], dtype=np.float64)
+        qn = np.linalg.norm(qv)
+        qu = [float(x) for x in (qv / (qn if qn else 1.0)).astype(np.float32)]
         d2 = ((centers - qv) ** 2).sum(axis=1)
         for cell in np.argsort(d2)[:n_probe]:
-            probes.append((row["vec_id"], row["embedding"], int(cell)))
+            probes.append((row["vec_id"], qu, int(cell)))
     probe_df = corpus.sparkSession.createDataFrame(
         probes, "query_id long, q_emb array<float>, cell int"
     )
@@ -247,11 +255,7 @@ def ivf_topk(
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(
-                dot(F.col("q_emb"), F.col("embedding"))
-                / (norm(F.col("q_emb")) * norm(F.col("embedding"))),
-                6,
-            ).alias("cosine"),
+            F.round(dot(F.col("q_emb"), F.col("embedding")), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -413,16 +417,23 @@ def semdedup(
     )
 
     def assign(batches):
+        # emit UNIT vectors: the intra-cell pair join then scores with a
+        # bare dot product — per-pair norm recomputation is the dominant
+        # arithmetic otherwise (norms are O(pairs·dim) if left in the
+        # join expression, O(n·dim) when hoisted here into the same
+        # Arrow batch that already touches every vector)
         ctr = bc_centers.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             mat = np.array(list(pdf["embedding"]), dtype=np.float64)
             d2 = ((mat[:, None, :] - ctr[None, :, :]) ** 2).sum(axis=2)
+            nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+            unit = mat / np.where(nrm == 0, 1.0, nrm)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
-                    "embedding": pdf["embedding"],
+                    "embedding": list(unit.astype("float32")),
                     "cell": d2.argmin(axis=1).astype("int32"),
                 }
             )
@@ -433,17 +444,29 @@ def semdedup(
 
     a = cells.select("cell", F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
     b = cells.select("cell", F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
-    cos = dot(F.col("a_emb"), F.col("b_emb")) / (norm(F.col("a_emb")) * norm(F.col("b_emb")))
     dropped = (
         b.join(a, on="cell")
-        .filter((F.col("a_id") < F.col("b_id")) & (cos >= F.lit(threshold)))
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (dot(F.col("a_emb"), F.col("b_emb")) >= F.lit(threshold))
+        )
         .select("cell", F.col("b_id").alias("vec_id"))
         .distinct()
     )
+    # summary by arithmetic (totals − dropped), not an anti-join back
+    # against the full vector set: `dropped` is tiny, totals are one
+    # map-side-combined count — the full cells relation is scanned once
     return (
-        cells.join(dropped.select("vec_id"), on="vec_id", how="left_anti")
-        .groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("n_kept"))
-        .join(cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors")), on="cell")
-        .select("cell", "n_vectors", "n_kept")
+        cells.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .join(
+            dropped.groupBy("cell").agg(F.count(F.lit(1)).alias("n_dropped")),
+            on="cell",
+            how="left",
+        )
+        .select(
+            "cell",
+            "n_vectors",
+            (F.col("n_vectors") - F.coalesce("n_dropped", F.lit(0))).alias("n_kept"),
+        )
     )

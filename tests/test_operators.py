@@ -165,7 +165,9 @@ def test_semdedup_keep_rule_vs_brute_force(spark):
     mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
     centers = similarity._lloyd_kmeans(mat[:4096], k=8, iters=10, seed=42)
     cells = ((mat[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
-    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    # mirror the operator: unit vectors truncated to float32 on the
+    # Arrow wire, scored with a double-precision dot
+    normed = (mat / np.linalg.norm(mat, axis=1, keepdims=True)).astype(np.float32).astype(np.float64)
     want = {}
     for c in np.unique(cells):
         m = cells == c
