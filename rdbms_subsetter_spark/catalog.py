@@ -45,16 +45,27 @@ def _nanos_ts_columns(path: str) -> list[str]:
 
 
 def _fix_nanos_timestamps(df: DataFrame, path: str) -> DataFrame:
-    """Rebuild µs timestamps for columns Spark read as raw nanosecond
-    longs under ``spark.sql.legacy.parquet.nanosAsLong`` (the testdata's
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark rejects
-    natively; values are µs-aligned, so integer division loses nothing)."""
+    """Normalize timestamp columns to plain TIMESTAMP (LTZ) however the
+    parquet writer annotated them.
+
+    Two cases seen across testdata generations:
+    - TIMESTAMP(NANOS): Spark rejects natively; read as raw longs under
+      ``spark.sql.legacy.parquet.nanosAsLong`` and rebuilt here (values
+      are µs-aligned, so integer division loses nothing).
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): infers as TIMESTAMP_NTZ,
+      which watermarks, ``unix_micros`` and interval arithmetic reject.
+      Session tz is pinned UTC (``pin_session_conf``), so casting to LTZ
+      preserves wall-clock values and DuckDB-oracle parity.
+    """
     spark_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     for name in _nanos_ts_columns(path):
         # footer check alone false-positives on INT96 (pyarrow reports
         # ns) — only rewrite when Spark actually surfaced a raw long
         if spark_types.get(name) == "bigint":
             df = df.withColumn(name, F.timestamp_micros(F.expr(f"{name} div 1000")))
+    for name, t in spark_types.items():
+        if t == "timestamp_ntz":
+            df = df.withColumn(name, F.col(name).cast("timestamp"))
     return df
 
 
