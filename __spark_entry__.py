@@ -25,6 +25,7 @@ from rdbms_subsetter_spark.queries_ext2 import ext2_oracles, ext2_queries  # noq
 from rdbms_subsetter_spark.queries_ext3 import ext3_oracles, ext3_queries  # noqa: E402
 from rdbms_subsetter_spark.queries_ext4 import ext4_oracles, ext4_queries  # noqa: E402
 from rdbms_subsetter_spark.queries_ext5 import ext5_oracles, ext5_queries  # noqa: E402
+from rdbms_subsetter_spark.queries_ext6 import ext6_oracles, ext6_queries  # noqa: E402
 from rdbms_subsetter_spark.queries_tpch import tpch_oracles, tpch_queries  # noqa: E402
 
 
@@ -41,6 +42,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(ext3_queries())
     out.update(ext4_queries())
     out.update(ext5_queries())
+    out.update(ext6_queries())
     out.update(tpch_queries())
     return out
 
@@ -54,6 +56,7 @@ def oracle_sql() -> dict[str, str]:
         **ext3_oracles(),
         **ext4_oracles(),
         **ext5_oracles(),
+        **ext6_oracles(),
         **tpch_oracles(),
     }.items():
         if sql is not None:

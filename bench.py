@@ -76,6 +76,16 @@ HEADLINE = [
     "mixture_weighted_sample",
     "decontaminate_ngram",
     "dedup_semdedup",
+    "tfidf_bm25",
+    "events_interpolate",
+    "graph_pagerank",
+    "tpch_min_cost_supplier",
+    "tpch_volume_shipping",
+    "tpch_market_share",
+    "tpch_product_profit",
+    "tpch_returned_items",
+    "tpch_disjunctive_filter",
+    "tpch_waiting_suppliers",
 ]
 
 

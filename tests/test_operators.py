@@ -184,3 +184,40 @@ def test_semdedup_keep_rule_vs_brute_force(spark):
                     break
         want[int(c)] = (len(cid), len(cid) - len(dropped))
     assert got == want
+
+
+def test_pagerank_matches_numpy(spark):
+    """graph.pagerank (driver loop of Spark jobs) vs a dense numpy power
+    iteration with identical dangling-mass redistribution."""
+    import numpy as np
+
+    from rdbms_subsetter_spark.operators import graph
+
+    # small directed graph with a dangling node (4) and a hub (0)
+    E = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 0), (3, 2), (2, 4)]
+    edges = spark.createDataFrame(E, ["src", "dst"])
+    got = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(edges, iterations=12, damping=0.85).collect()
+    }
+
+    n = 5
+    A = np.zeros((n, n))
+    for s, d in E:
+        A[d, s] = 1.0
+    outdeg = A.sum(axis=0)
+    r = np.full(n, 1.0 / n)
+    for _ in range(12):
+        contrib = np.zeros(n)
+        dangling = 0.0
+        for s in range(n):
+            if outdeg[s] == 0:
+                dangling += r[s]
+            else:
+                contrib += A[:, s] * (r[s] / outdeg[s])
+        r = (0.15 + 0.85 * dangling) / n + 0.85 * contrib
+
+    assert set(got) == set(range(n))
+    for v in range(n):
+        assert abs(got[v] - r[v]) < 1e-12, (v, got[v], r[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9

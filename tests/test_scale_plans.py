@@ -151,3 +151,50 @@ def test_not_in_plans_null_aware_anti_join(spark):
     plan = physical_plan(df, "simple")
     # BHJ LeftAnti with the isNullAware flag (trailing "true")
     assert "LeftAnti, BuildRight, true" in plan, plan
+
+
+def test_tpch_q6_predicates_all_reach_scan(spark):
+    """Q6's whole WHERE clause (date range, discount band, quantity cap)
+    must push to the parquet scan, leaving a 1-exchange global agg."""
+    from rdbms_subsetter_spark.queries_tpch import q_tpch_forecast_revenue
+
+    df = q_tpch_forecast_revenue(spark, SF_SMALL)
+    pushed = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+    assert count_exchanges(df) == 1
+
+
+def test_tpch_q19_disjunction_splits_and_pushes(spark):
+    """Q19's OR-of-conjunctions must be factored per side: the part scan
+    gets the brand/size disjunction, the lineitem scan the quantity
+    bands — neither scan reads unfiltered."""
+    from rdbms_subsetter_spark.queries_tpch import q_tpch_disjunctive_filter
+
+    df = q_tpch_disjunctive_filter(spark, SF_SMALL)
+    pushed = " ".join(pushed_filters(df))
+    assert "Or(" in pushed
+    assert "p_brand" in pushed and "l_quantity" in pushed
+    assert has_broadcast_hash_join(df)
+
+
+def test_tpch_q9_dims_broadcast_single_shuffle(spark):
+    """Q9's part/supplier/nation sides are broadcast; the only exchange
+    is the final group-by (orders is broadcast at this SF by AQE)."""
+    from rdbms_subsetter_spark.queries_tpch import q_tpch_product_profit
+
+    df = q_tpch_product_profit(spark, SF_SMALL)
+    assert has_broadcast_hash_join(df)
+    assert count_exchanges(df) <= 3  # ≥1 group-by; orders may shuffle at scale
+
+
+def test_interpolate_windows_share_one_sort(spark):
+    """events_interpolate's four ignore-nulls window passes must share a
+    single sort (same partition key + ordering): 1 Sort, ≤2 exchanges
+    (hourly agg + window repartition)."""
+    from rdbms_subsetter_spark.queries_ext6 import q_events_interpolate
+
+    df = q_events_interpolate(spark, SF_SMALL)
+    plan = physical_plan(df, "simple")
+    assert plan.count("Sort ") == 1, plan
+    assert count_exchanges(df) <= 2
