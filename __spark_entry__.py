@@ -26,6 +26,7 @@ from rdbms_subsetter_spark.queries_ext3 import ext3_oracles, ext3_queries  # noq
 from rdbms_subsetter_spark.queries_ext4 import ext4_oracles, ext4_queries  # noqa: E402
 from rdbms_subsetter_spark.queries_ext5 import ext5_oracles, ext5_queries  # noqa: E402
 from rdbms_subsetter_spark.queries_ext6 import ext6_oracles, ext6_queries  # noqa: E402
+from rdbms_subsetter_spark.queries_ext7 import ext7_oracles, ext7_queries  # noqa: E402
 from rdbms_subsetter_spark.queries_tpch import tpch_oracles, tpch_queries  # noqa: E402
 
 
@@ -43,6 +44,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(ext4_queries())
     out.update(ext5_queries())
     out.update(ext6_queries())
+    out.update(ext7_queries())
     out.update(tpch_queries())
     return out
 
@@ -57,6 +59,7 @@ def oracle_sql() -> dict[str, str]:
         **ext4_oracles(),
         **ext5_oracles(),
         **ext6_oracles(),
+        **ext7_oracles(),
         **tpch_oracles(),
     }.items():
         if sql is not None:

@@ -79,6 +79,9 @@ HEADLINE = [
     "tfidf_bm25",
     "events_interpolate",
     "graph_pagerank",
+    "scd2_intervals",
+    "mixture_temperature_sample",
+    "join_salted_skew",
     "tpch_min_cost_supplier",
     "tpch_volume_shipping",
     "tpch_market_share",

@@ -121,3 +121,32 @@ def salted_agg(
         F.sum("__n").alias("n_rows"),
         *[F.sum(f"__s_{c}").alias(alias) for c, alias in sum_cols.items()],
     )
+
+
+def salted_join(
+    big: DataFrame,
+    medium: DataFrame,
+    big_key: str,
+    medium_key: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join for big ⋈ medium where the medium side is too
+    large to broadcast but cheap to replicate ``salt``×: every big-side
+    row gets a salt in [0, salt), the medium side is exploded across ALL
+    salt values, and the join key widens to (key, salt) — a hot key's
+    rows spread over ``salt`` tasks instead of melting one reducer.
+    Result is identical to the plain join; only the plan changes.  The
+    big side's salt need not be deterministic (any value joins), so a
+    cheap id-derived salt is used rather than a row hash.
+    """
+    salted = big.withColumn(
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt)).cast("int")
+    )
+    rep = medium.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    joined = salted.join(
+        rep, (salted[big_key] == rep[medium_key]) & (salted["__salt"] == rep["__salt"]), how
+    )
+    return joined.drop("__salt")

@@ -1,0 +1,168 @@
+"""Extension battery 7: warehouse/curation operators — SCD2 interval
+construction, temperature-scaled mixture sampling, and the salted
+skew-join as a graded query.
+
+All past the reference surface (18F/rdbms-subsetter moves rows, it
+never derives them — SURVEY.md §2A); these are the remaining
+training-pipeline staples: dimension versioning for metadata tables,
+the standard multilingual-mixture reweighting (upsample low-resource
+languages with p^t), and the skew-join pattern that keeps both working
+when one key is hot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rdbms_subsetter_spark import partitioning
+from rdbms_subsetter_spark.catalog import Catalog
+
+
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (slowly-changing-dimension) interval construction from an
+    event log: collapse each user's consecutive runs of the same
+    event_type into validity intervals [valid_from, valid_to) — the
+    classic gaps-and-islands build.  Island ids come from a running sum
+    of change flags; all three windows share ONE (user_id, ts) sort, the
+    interval close (lead of the next island's start) reuses the same
+    partitioning.  No joins, two shuffles total (window + final agg)."""
+    cat = Catalog(spark, sf_dir)
+    ev = cat["events"].select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = (
+        F.lag("event_type").over(w).isNull()
+        | (F.col("event_type") != F.lag("event_type").over(w))
+    ).cast("long")
+    islands = ev.withColumn(
+        "island", F.sum(changed).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    iv = islands.groupBy("user_id", "island", "event_type").agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w_iv = Window.partitionBy("user_id").orderBy("island")
+    return iv.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w_iv).alias("valid_to"),
+        "n_events",
+    )
+
+
+_SQL_SCD2_INTERVALS = """
+WITH flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR event_type <> lag(event_type) OVER w
+              THEN 1 ELSE 0 END AS changed
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), islands AS (
+  SELECT *, sum(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS island
+  FROM flagged
+), iv AS (
+  SELECT user_id, island, event_type,
+         min(ts) AS valid_from, count(*) AS n_events
+  FROM islands GROUP BY 1, 2, 3
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY island) AS valid_to,
+       n_events
+FROM iv
+"""
+
+
+def q_mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture reweighting (t=0.7): per-language keep
+    rate (c_min/c_l)^(1-t) — the standard multilingual upsampling curve,
+    rate 1.0 for the smallest language, decaying for high-resource ones.
+    Membership is the deterministic md5-bucket Bernoulli (same portable
+    convention as mixture_weighted_sample), so the kept set is stable
+    under retries, repartitions, and engine changes.  Two tiny aggregates
+    + one broadcast join back to the scan: one pass over documents."""
+    cat = Catalog(spark, sf_dir)
+    docs = cat["documents"]
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c_l"))
+    cmin = counts.agg(F.min("c_l").alias("c_min"))
+    rates = counts.crossJoin(F.broadcast(cmin)).select(
+        "lang",
+        "c_l",
+        F.floor(
+            F.pow(F.col("c_min") / F.col("c_l"), F.lit(0.3)) * 10000
+        ).cast("long").alias("rate_bps"),
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") % 10000
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .select("lang", "c_l", "rate_bps", (bucket < F.col("rate_bps")).cast("long").alias("keep"))
+        .groupBy("lang")
+        .agg(
+            F.max("rate_bps").alias("rate_bps"),
+            F.max("c_l").alias("n_total"),
+            F.sum("keep").alias("n_kept"),
+        )
+    )
+
+
+_SQL_MIXTURE_TEMPERATURE = """
+WITH counts AS (
+  SELECT lang, count(*) AS c_l FROM documents GROUP BY lang
+), rates AS (
+  SELECT lang, c_l,
+         CAST(floor(pow(CAST((SELECT min(c_l) FROM counts) AS DOUBLE) / c_l,
+                        0.3) * 10000) AS BIGINT) AS rate_bps
+  FROM counts
+)
+SELECT lang, max(rate_bps) AS rate_bps, max(c_l) AS n_total,
+       sum(CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 10000 < rate_bps
+                THEN 1 ELSE 0 END) AS n_kept
+FROM documents JOIN rates USING (lang)
+GROUP BY lang
+"""
+
+
+def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted equi-join as a graded query: events ⋈ customer
+    through the explicit (key, salt) widening in
+    ``partitioning.salted_join`` — the pattern for a hot key whose
+    reduce side outgrows one task when the dim side can't broadcast.
+    Result must equal the plain join (the oracle), only the plan
+    differs; the revenue roll-up proves no row was lost or doubled."""
+    cat = Catalog(spark, sf_dir)
+    ev = cat["events"].select("user_id", "value")
+    cust = cat["customer"].select("c_custkey", "c_mktsegment")
+    joined = partitioning.salted_join(ev, cust, "user_id", "c_custkey", salt=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+_SQL_JOIN_SALTED_SKEW = """
+SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def ext7_queries() -> dict:
+    return {
+        "scd2_intervals": q_scd2_intervals,
+        "mixture_temperature_sample": q_mixture_temperature_sample,
+        "join_salted_skew": q_join_salted_skew,
+    }
+
+
+def ext7_oracles() -> dict:
+    return {
+        "scd2_intervals": _SQL_SCD2_INTERVALS,
+        "mixture_temperature_sample": _SQL_MIXTURE_TEMPERATURE,
+        "join_salted_skew": _SQL_JOIN_SALTED_SKEW,
+    }

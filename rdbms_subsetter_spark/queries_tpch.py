@@ -50,11 +50,10 @@ def q_tpch_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2 shape: for each part in a size slice, the EUROPE supplier with
     the minimum observed unit price.  The correlated scalar subquery of
     upstream Q2 decorrelates into a partition-window min — one shuffle
-    on l_partkey for the cost aggregate, then the window reuses that
-    same hash partitioning (no second exchange); supplier/nation/region
-    are broadcast.  Scale note: the window runs on the already-reduced
-    (part, supplier) aggregate (~|parts|·|supps per part|), never on raw
-    lineitem."""
+    for the (part, supplier) cost aggregate, then one window
+    repartition that moves ONLY that reduced aggregate
+    (~|parts|·|supps per part| rows), never raw lineitem;
+    supplier/nation/region are broadcast."""
     cat = Catalog(spark, sf_dir)
     cost = (
         cat["lineitem"]
@@ -623,10 +622,13 @@ def q_tpch_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     where this supplier shipped last (>30 days after order date), i.e.
     EXISTS(another supplier's line) AND NOT EXISTS(another supplier's
     line shipped later).  Both correlated subqueries decorrelate into
-    one window pass over the order's lines: cnt of distinct suppliers
-    and max shipdate among OTHER suppliers — no self-join fan-out, one
-    shuffle on l_orderkey.  Deterministic top 10 by (numwait desc,
-    s_name)."""
+    one window pass over the per-(order,supplier) aggregate:
+    "no OTHER supplier shipped strictly later" ⇔ "this supplier's max
+    shipdate equals the order's max" (if another group held a later
+    date, the order max would exceed ours; ties pass both forms), so
+    no self-join and no runner-up bookkeeping — count + max windows on
+    the same l_orderkey partitioning, one wide shuffle of the reduced
+    aggregate.  Deterministic top 10 by (numwait desc, s_name)."""
     cat = Catalog(spark, sf_dir)
     li = (
         cat["lineitem"]
@@ -637,38 +639,17 @@ def q_tpch_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate")
     )
     w = Window.partitionBy("l_orderkey")
-    # max shipdate over *other* suppliers = max of (all, runner-up by supplier):
-    # compute per-(order, supplier) max first, then top-2 over the order.
     per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("l_shipdate").alias("supp_max_ship"),
         F.max("o_orderdate").alias("o_orderdate"),
     )
-    ranked = (
+    waiting = (
         per_supp.withColumn("n_supp", F.count(F.lit(1)).over(w))
         .withColumn("max_all", F.max("supp_max_ship").over(w))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("l_orderkey").orderBy(
-                    F.col("supp_max_ship").desc(), F.col("l_suppkey")
-                )
-            ),
-        )
-    )
-    second = ranked.filter(F.col("rk") == 2).select(
-        F.col("l_orderkey").alias("ok2"), F.col("supp_max_ship").alias("second_max")
-    )
-    waiting = (
-        ranked.join(second, F.col("l_orderkey") == F.col("ok2"), "left")
-        .withColumn(
-            "max_other",
-            F.when(F.col("supp_max_ship") == F.col("max_all"), F.col("second_max"))
-            .otherwise(F.col("max_all")),
-        )
         .filter(
             (F.col("n_supp") > 1)
             & (F.col("supp_max_ship") > F.expr("o_orderdate + INTERVAL 30 DAYS"))
-            & (F.col("supp_max_ship") >= F.col("max_other"))
+            & (F.col("supp_max_ship") == F.col("max_all"))
         )
     )
     return (

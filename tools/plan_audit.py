@@ -68,6 +68,35 @@ COMMENTARY = {
         "stage's codegen (no UDF, no extra exchange), quality/lang filters "
         "before the single dedup-window shuffle on the fingerprint."
     ),
+    "tpch_disjunctive_filter": (
+        "Q19 OR-of-conjunctions. Wanted: the disjunction factored per side — "
+        "brand/size OR-tree pushed to the part scan, quantity bands to the "
+        "lineitem scan — plus a broadcast join and a single-row final agg."
+    ),
+    "tpch_min_cost_supplier": (
+        "Q2 correlated min, decorrelated. Wanted: exactly two exchanges — the "
+        "(part,supplier) cost aggregate, then the window repartition that "
+        "moves ONLY that reduced aggregate (never raw lineitem); "
+        "supplier/nation/region/part all broadcast."
+    ),
+    "tpch_waiting_suppliers": (
+        "Q21 EXISTS/NOT-EXISTS chain, decorrelated to one window pass. "
+        "Wanted: no self-join fan-out of lineitem — per-(order,supplier) agg, "
+        "then count/max windows sharing one l_orderkey sort; three exchanges "
+        "total (agg, window repartition of the reduced rows, final group-by)."
+    ),
+    "events_interpolate": (
+        "Linear interpolation over the gap-fill spine. Wanted: all four "
+        "ignore-nulls windows (prev/next value + timestamps) computed off ONE "
+        "sort — two Window operators back-to-back, no extra exchange between "
+        "them."
+    ),
+    "tfidf_bm25": (
+        "BM25 top-20. Wanted: tf and dl reduced map-side within one "
+        "tokenization shuffle, df broadcast (tiny), global stats as a "
+        "single-row broadcast cross join, TakeOrderedAndProject for the "
+        "top-k (no full sort)."
+    ),
 }
 
 
