@@ -27,6 +27,7 @@ from rdbms_subsetter_spark.queries_ext4 import ext4_oracles, ext4_queries  # noq
 from rdbms_subsetter_spark.queries_ext5 import ext5_oracles, ext5_queries  # noqa: E402
 from rdbms_subsetter_spark.queries_ext6 import ext6_oracles, ext6_queries  # noqa: E402
 from rdbms_subsetter_spark.queries_ext7 import ext7_oracles, ext7_queries  # noqa: E402
+from rdbms_subsetter_spark.queries_ext8 import ext8_oracles, ext8_queries  # noqa: E402
 from rdbms_subsetter_spark.queries_tpch import tpch_oracles, tpch_queries  # noqa: E402
 
 
@@ -45,6 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(ext5_queries())
     out.update(ext6_queries())
     out.update(ext7_queries())
+    out.update(ext8_queries())
     out.update(tpch_queries())
     return out
 
@@ -60,6 +62,7 @@ def oracle_sql() -> dict[str, str]:
         **ext5_oracles(),
         **ext6_oracles(),
         **ext7_oracles(),
+        **ext8_oracles(),
         **tpch_oracles(),
     }.items():
         if sql is not None:

@@ -82,6 +82,9 @@ HEADLINE = [
     "scd2_intervals",
     "mixture_temperature_sample",
     "join_salted_skew",
+    "json_variant_extract",
+    "sql_pipe_syntax",
+    "udf_map_in_arrow",
     "tpch_min_cost_supplier",
     "tpch_volume_shipping",
     "tpch_market_share",

@@ -311,3 +311,77 @@ def streaming_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("min_event"),
         F.max("event_id").alias("max_event"),
     )
+
+
+def stateful_user_totals_v2(events: DataFrame) -> DataFrame:
+    """Per-user running totals via the Spark 4 ``transformWithState``
+    API: a ``StatefulProcessor`` with a typed ValueState variable —
+    the successor to ``applyInPandasWithState`` (composable state
+    variables, timers, TTL) and the pattern for any accumulator the
+    built-in aggregates can't express."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [round(total, 2)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        UserTotals(),
+        outputStructType="user_id long, n_events long, sum_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def transform_with_state_available() -> bool:
+    """transformWithState's state-server protocol needs protobuf in the
+    Python env (pyspark does not vendor it); absent that, the driver
+    worker crashes at init."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end transformWithState run: final running totals per user
+    after the bounded replay (update mode → keep each user's last
+    emission); equals the batch per-user aggregate → oracle-checked.
+
+    The v2 API additionally requires the RocksDB state store (set for
+    this run) and protobuf; where protobuf is missing the query falls
+    back to the applyInPandasWithState operator — identical semantics,
+    same oracle, so the correctness gate grades the same contract
+    either way."""
+    if transform_with_state_available():
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        agg = stateful_user_totals_v2(events_stream(spark, sf_dir))
+    else:
+        agg = stateful_user_totals(events_stream(spark, sf_dir))
+    out = run_stream_to_memory(
+        spark, agg, name="stream_transform_with_state", output_mode="update"
+    )
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("sum_value").alias("sum_value"),
+    )

@@ -97,3 +97,26 @@ def test_dedup_within_watermark_state_ttl(spark, tmp_path):
     out = se.run_stream_to_memory(spark, dedup, "dedup_wm_test", output_mode="append")
     emitted = sorted(r["user_id"] for r in out.collect())
     assert emitted == [1, 1, 50, 99], emitted
+
+
+def test_transform_with_state_v2_when_available(spark):
+    """Exercises the Spark 4 transformWithState path itself (not the
+    fallback) wherever the env has protobuf; the graded query's
+    fallback twin is covered by the oracle parity suite either way."""
+    import pytest
+
+    from rdbms_subsetter_spark.streaming import events as se
+
+    if not se.transform_with_state_available():
+        pytest.skip("protobuf absent: transformWithState state server cannot start")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    out = se.run_stream_to_memory(
+        spark,
+        se.stateful_user_totals_v2(se.events_stream(spark, "/root/testdata/sf0.001")),
+        name="tws_v2_test",
+        output_mode="update",
+    )
+    assert out.count() > 0
