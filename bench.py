@@ -92,6 +92,7 @@ HEADLINE = [
     "tpch_returned_items",
     "tpch_disjunctive_filter",
     "tpch_waiting_suppliers",
+    "tpch_dominant_supplier",
 ]
 
 

@@ -751,6 +751,7 @@ def tpch_queries() -> dict:
         "tpch_disjunctive_filter": q_tpch_disjunctive_filter,
         "tpch_waiting_suppliers": q_tpch_waiting_suppliers,
         "tpch_idle_customers": q_tpch_idle_customers,
+        "tpch_dominant_supplier": q_tpch_dominant_supplier,
     }
 
 
@@ -770,4 +771,59 @@ def tpch_oracles() -> dict:
         "tpch_disjunctive_filter": _SQL_DISJUNCTIVE_FILTER,
         "tpch_waiting_suppliers": _SQL_WAITING_SUPPLIERS,
         "tpch_idle_customers": _SQL_IDLE_CUSTOMERS,
+        "tpch_dominant_supplier": _SQL_DOMINANT_SUPPLIER,
     }
+
+
+# ---------------------------------------------------------------------------
+# Q20 — dominant suppliers (correlated aggregate inside IN)
+# ---------------------------------------------------------------------------
+
+def q_tpch_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: suppliers who shipped more than half of some part's
+    1997 volume (the ``availqty > 0.5 * sum(...)`` correlated aggregate,
+    recast on observed shipments).  Decorrelated the standard way: both
+    aggregates come from ONE scan of the filtered lineitem — the
+    per-(part,supplier) rollup re-aggregates to the per-part total, so
+    the fact table is read once and the comparison is a join of two
+    reduced relations co-partitioned on l_partkey.  The supplier list is
+    a left_semi join (the IN)."""
+    cat = Catalog(spark, sf_dir)
+    li97 = (
+        cat["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+    )
+    per_part = li97.groupBy("l_partkey").agg(F.sum("supp_qty").alias("part_qty"))
+    dominant = (
+        li97.join(per_part, "l_partkey")
+        .filter(F.col("supp_qty") > F.lit(0.5) * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        cat["supplier"]
+        .join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(cat["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+_SQL_DOMINANT_SUPPLIER = """
+WITH li97 AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2
+)
+SELECT s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM li97 a
+  WHERE supp_qty > 0.5 * (SELECT sum(supp_qty) FROM li97 b
+                          WHERE b.l_partkey = a.l_partkey)
+)
+"""

@@ -71,3 +71,29 @@ def test_pack_sequences_is_exact_global_cumsum(spark, tok_counts, capacity):
     # document's span
     bins = [r["bin_id"] for r in rows]
     assert all(b2 >= b1 for b1, b2 in zip(bins, bins[1:]))
+
+
+def test_salted_join_equals_plain_join(spark):
+    """partitioning.salted_join must be result-identical to the plain
+    equi-join for every join type it supports, including a hot key."""
+    from pyspark.sql import functions as F
+
+    from rdbms_subsetter_spark import partitioning
+
+    big = spark.createDataFrame(
+        [(k, i) for i in range(200) for k in ([1] * 5 + [i % 7])],  # key 1 is hot
+        ["k", "payload"],
+    )
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(7)], ["dk", "label"])
+
+    got = (
+        partitioning.salted_join(big, dim, "k", "dk", salt=4)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("payload").alias("s"))
+    )
+    want = (
+        big.join(dim, big["k"] == dim["dk"])
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("payload").alias("s"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
