@@ -146,12 +146,42 @@ GROUP BY user_id
 """
 
 
+def q_text_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw line-oriented text connector: documents serialized as
+    tab-delimited lines via ``write.text``, read back with
+    ``spark.read.text`` and re-split into columns — the on-ramp for
+    log-shaped corpora where schema is applied after the fact.  The
+    oracle reads the original parquet, so any line-splitting or
+    round-trip loss breaks the hash."""
+    from rdbms_subsetter_spark.sources.io import text_roundtrip
+
+    cat = Catalog(spark, sf_dir)
+    rt = text_roundtrip(
+        cat["documents"], ["doc_id", "lang", "n_chars"], tag=f"{sf_dir}/documents"
+    )
+    return rt.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).alias("sum_chars"),
+        F.min(F.col("doc_id").cast("long")).alias("min_id"),
+        F.max(F.col("doc_id").cast("long")).alias("max_id"),
+    )
+
+
+_SQL_TEXT_SOURCE = """
+SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM documents
+GROUP BY lang
+"""
+
+
 def ext8_queries() -> dict:
     return {
         "json_variant_extract": q_json_variant_extract,
         "sql_pipe_syntax": q_sql_pipe_syntax,
         "udf_map_in_arrow": q_udf_map_in_arrow,
         "streaming_transform_with_state": q_streaming_transform_with_state,
+        "text_source_agg": q_text_source_agg,
     }
 
 
@@ -161,4 +191,5 @@ def ext8_oracles() -> dict:
         "sql_pipe_syntax": _SQL_PIPE_SYNTAX,
         "udf_map_in_arrow": _SQL_MAP_IN_ARROW,
         "streaming_transform_with_state": _SQL_TRANSFORM_WITH_STATE,
+        "text_source_agg": _SQL_TEXT_SOURCE,
     }

@@ -18,7 +18,7 @@ import hashlib
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StructType
 
 
@@ -193,3 +193,20 @@ def orc_roundtrip(df: DataFrame, tag: str) -> DataFrame:
     out = _scratch_dir("orc", tag)
     df.write.mode("overwrite").orc(out)
     return df.sparkSession.read.schema(df.schema).orc(out)
+
+
+def text_roundtrip(df: DataFrame, cols: list[str], tag: str, sep: str = "\t") -> DataFrame:
+    """Write *df* as raw delimited text lines (``spark.write.text``) and
+    read it back with the line-oriented ``spark.read.text`` source,
+    re-splitting into string columns.  The rawest connector Spark has —
+    the on-ramp for log-shaped corpora where each line is a record and
+    schema is applied after the fact.  Caller guarantees the separator
+    does not occur in the values (asserted cheaply on read)."""
+    out = _scratch_dir("text", tag)
+    line = F.concat_ws(sep, *[F.col(c).cast("string") for c in cols])
+    df.select(line.alias("value")).write.mode("overwrite").text(out)
+    raw = df.sparkSession.read.text(out)
+    parts = F.split(F.col("value"), sep)
+    return raw.select(
+        *[parts.getItem(i).alias(c) for i, c in enumerate(cols)]
+    )
