@@ -27,6 +27,7 @@ def pagerank(
     damping: float = 0.85,
     checkpoint_interval: int = 4,
     broadcast_ranks: bool = False,
+    nodes_are_sources: bool = False,
 ) -> DataFrame:
     """PageRank over a directed edge list ``(src, dst)``.
 
@@ -59,16 +60,27 @@ def pagerank(
     outdeg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("outdeg")
     )
-    node_deg = (
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .join(outdeg, "node", "left")
-        .coalesce(4)
-        .localCheckpoint(eager=True)
-    )
+    if nodes_are_sources:
+        # caller guarantees every node has an out-edge (always true for
+        # a symmetrized graph): the out-degree aggregate IS the node
+        # set, so the union+distinct over both endpoints — a second
+        # full pass over the edges — is skipped, and dangling nodes
+        # are impossible by construction.
+        node_deg = outdeg.coalesce(4).localCheckpoint(eager=True)
+        has_dangling = False
+    else:
+        node_deg = (
+            edges.select(F.col("src").alias("node"))
+            .unionByName(edges.select(F.col("dst").alias("node")))
+            .distinct()
+            .join(outdeg, "node", "left")
+            .coalesce(4)
+            .localCheckpoint(eager=True)
+        )
+        has_dangling = (
+            node_deg.filter(F.col("outdeg").isNull()).limit(1).count() > 0
+        )
     n = node_deg.count()
-    has_dangling = node_deg.filter(F.col("outdeg").isNull()).limit(1).count() > 0
     base = (1.0 - damping) / n
 
     ranks = node_deg.withColumn("rank", F.lit(1.0 / n))

@@ -225,6 +225,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         damping=0.85,
         checkpoint_interval=3,
         broadcast_ranks=True,  # ~21k nodes: the rank vector is tiny
+        nodes_are_sources=True,  # symmetrized: every node has out-edges
     )
     return (
         ranks.select("node", F.round(F.col("rank") * 1e6, 2).alias("rank_ppm"))

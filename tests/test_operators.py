@@ -221,3 +221,23 @@ def test_pagerank_matches_numpy(spark):
     for v in range(n):
         assert abs(got[v] - r[v]) < 1e-12, (v, got[v], r[v])
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_nodes_are_sources_fast_path(spark):
+    """The nodes_are_sources fast path (node set = out-degree keys) must
+    give identical ranks to the generic path on a symmetrized graph."""
+    from rdbms_subsetter_spark.operators import graph
+
+    E = [(0, 1), (1, 2), (2, 3), (3, 0), (1, 3)]
+    edges = graph.symmetrize(
+        spark.createDataFrame(E, ["src", "dst"])
+    ).localCheckpoint(eager=True)
+    slow = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(edges, iterations=6).collect()
+    }
+    fast = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(edges, iterations=6, nodes_are_sources=True).collect()
+    }
+    assert slow == fast
