@@ -254,7 +254,9 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured Streaming twin of q_events_hourly (rows-only check)."""
+    """Structured Streaming twin of q_events_hourly.  Complete-mode
+    bounded replay emits every window, so the result equals the batch
+    aggregate and is hash-checked against the same DuckDB oracle."""
     return streaming_events.streaming_hourly_counts(spark, sf_dir)
 
 
@@ -573,5 +575,9 @@ FROM documents
 SELECT doc_id AS media_id, CAST(unnest(generate_series(0, 23, 8)) AS INT) AS frame_idx
 FROM documents WHERE doc_id % 3 = 2
 """,
-        "streaming_hourly": None,  # streaming plan: rows-only check
+        "streaming_hourly": """
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+""",
     }

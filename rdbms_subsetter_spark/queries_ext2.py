@@ -454,6 +454,9 @@ def q_udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows over the replayed stream; complete-mode
+    bounded replay equals batch gap-sessionization (session_end = last
+    event + gap), so it is hash-checked against the DuckDB oracle."""
     return streaming_events.streaming_session_counts(spark, sf_dir)
 
 
@@ -732,7 +735,25 @@ SELECT doc_id,
        l[CAST(i AS INT)] AS sentence
 FROM s, unnest(range(1, len(l) + 1)) AS t(i)
 """,
-        "streaming_sessions": None,  # streaming plan: rows-only
+        "streaming_sessions": """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id, count(*) AS n_events
+FROM sessions GROUP BY user_id, sid
+""",
         "streaming_stateful_totals": """
 SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
 FROM events GROUP BY user_id

@@ -132,13 +132,19 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
 
 
 def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end native session windows over the replayed event stream
-    (append mode: sessions emit once the watermark passes their gap)."""
+    """End-to-end native session windows over the replayed event stream.
+
+    Complete mode on purpose (same reasoning as streaming_hourly_counts):
+    append mode withholds sessions whose gap the watermark has not yet
+    passed, so a bounded replay would lose the tail; complete mode emits
+    every session, making the result equal to the batch gaps-and-islands
+    sessionization (session_end = last event + gap) — DuckDB-checkable.
+    Append-mode emission semantics stay covered in test_streaming.py."""
     out = run_stream_to_memory(
         spark,
         session_windows(events_stream(spark, sf_dir)),
         name="stream_session_counts",
-        output_mode="append",
+        output_mode="complete",
     )
     return out.orderBy("session_start", "user_id")
 
@@ -161,18 +167,21 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end streaming query: replay events, watermark, tumbling
-    hourly agg, memory sink.  Returned as a static DataFrame so the
-    driver's rows-only check can evaluate it.
+    hourly agg, memory sink.
 
-    Note: with ``outputMode("append")`` the final (still-open) window
-    is withheld pending watermark advance, so this intentionally uses
-    the complete-mode variant for a bounded replay.
+    Complete mode on purpose: with ``outputMode("append")`` the final
+    (still-open) windows are withheld pending watermark advance, so a
+    bounded replay would be missing the tail hours; complete mode emits
+    every window, which makes the result EQUAL to the batch hourly
+    aggregate — and therefore DuckDB-oracle-checkable, not just
+    rows-only.  Append-mode watermark eviction semantics are covered
+    separately in tests/test_streaming.py.
     """
     out = run_stream_to_memory(
         spark,
         hourly_agg(events_stream(spark, sf_dir)),
         name="stream_hourly_counts",
-        output_mode="append",
+        output_mode="complete",
     )
     return out.orderBy("hour_start", "event_type")
 
