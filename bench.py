@@ -85,6 +85,7 @@ HEADLINE = [
     "json_variant_extract",
     "sql_pipe_syntax",
     "udf_map_in_arrow",
+    "events_downsample_m4",
     "tpch_min_cost_supplier",
     "tpch_volume_shipping",
     "tpch_market_share",

@@ -157,6 +157,7 @@ def ext7_queries() -> dict:
         "scd2_intervals": q_scd2_intervals,
         "mixture_temperature_sample": q_mixture_temperature_sample,
         "join_salted_skew": q_join_salted_skew,
+        "events_downsample_m4": q_events_downsample_m4,
     }
 
 
@@ -165,4 +166,55 @@ def ext7_oracles() -> dict:
         "scd2_intervals": _SQL_SCD2_INTERVALS,
         "mixture_temperature_sample": _SQL_MIXTURE_TEMPERATURE,
         "join_salted_skew": _SQL_JOIN_SALTED_SKEW,
+        "events_downsample_m4": _SQL_EVENTS_DOWNSAMPLE_M4,
     }
+
+
+def q_events_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 time-series downsampling: per (event_type, day) bucket emit
+    first/last/min/max of the value — the standard error-free
+    downsampler for visualization pipelines (each bucket's rendered
+    line needs exactly those four points).  Unlike LTTB, M4 has no
+    sequential dependency, so it parallelizes perfectly: both
+    row_number directions share ONE sort per partition key, and the
+    final aggregate folds into the same shuffle.  first/last are
+    deterministic via the (ts, event_id) tiebreak."""
+    cat = Catalog(spark, sf_dir)
+    ev = cat["events"].select(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day"), "ts",
+        "event_id", "value",
+    )
+    w = Window.partitionBy("event_type", "day")
+    asc = w.orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    desc = w.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn_first", F.row_number().over(asc))
+        .withColumn("rn_last", F.row_number().over(desc))
+        .groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(F.when(F.col("rn_first") == 1, F.col("value"))).alias("v_first"),
+            F.max(F.when(F.col("rn_last") == 1, F.col("value"))).alias("v_last"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+        )
+    )
+
+
+_SQL_EVENTS_DOWNSAMPLE_M4 = """
+WITH ranked AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, value,
+         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                            ORDER BY ts, event_id) AS rn_first,
+         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_last
+  FROM events
+)
+SELECT event_type, day, count(*) AS n_events,
+       max(CASE WHEN rn_first = 1 THEN value END) AS v_first,
+       max(CASE WHEN rn_last = 1 THEN value END) AS v_last,
+       min(value) AS v_min,
+       max(value) AS v_max
+FROM ranked
+GROUP BY 1, 2
+"""
