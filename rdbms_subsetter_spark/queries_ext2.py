@@ -373,6 +373,12 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming twin of q_events_sliding; complete-mode
+    bounded replay equals the batch sliding aggregate -> same oracle."""
+    return streaming_events.streaming_sliding_counts(spark, sf_dir)
+
+
 def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: revenue by returnflag × linestatus as columns."""
     cat = Catalog(spark, sf_dir)
@@ -495,6 +501,7 @@ def ext2_queries() -> dict:
         "string_functions": q_string_functions,
         "sql_api": q_sql_api,
         "events_sliding": q_events_sliding,
+        "streaming_sliding": q_streaming_sliding,
         "agg_pivot": q_agg_pivot,
         "array_functions": q_array_functions,
         "multimodal_resize": q_multimodal_resize,
@@ -670,6 +677,14 @@ WHERE o_orderstatus = 'F'
 GROUP BY c_mktsegment
 """,
         "events_sliding": """
+SELECT ws AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM (SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' * k AS ws,
+             event_type, value
+      FROM events, unnest([0, 1]) AS t(k))
+GROUP BY ws, event_type
+""",
+        "streaming_sliding": """
 SELECT ws AS window_start, event_type,
        count(*) AS n_events, round(sum(value), 2) AS sum_value
 FROM (SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' * k AS ws,

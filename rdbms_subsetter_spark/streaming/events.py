@@ -394,3 +394,36 @@ def streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFram
         F.max("n_events").alias("n_events"),
         F.max("sum_value").alias("sum_value"),
     )
+
+
+def sliding_agg(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked sliding-window aggregation (1h window, 30min slide —
+    each event lands in exactly two windows, Expand ×2)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end sliding windows over the replayed event stream —
+    complete mode (same reasoning as streaming_hourly_counts), so the
+    bounded replay equals the batch sliding aggregate and shares its
+    DuckDB oracle."""
+    out = run_stream_to_memory(
+        spark,
+        sliding_agg(events_stream(spark, sf_dir)),
+        name="stream_sliding_counts",
+        output_mode="complete",
+    )
+    return out.orderBy("window_start", "event_type")
