@@ -101,8 +101,15 @@ def q_events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines), and the weights are exact integer-second ratios, so the
     result hash-matches DuckDB bit-for-bit before the final round."""
     cat = Catalog(spark, sf_dir)
+    return interpolate_hourly(cat["events"])
+
+
+def interpolate_hourly(events: DataFrame) -> DataFrame:
+    """The interpolation operator proper, over any (event_type, ts,
+    value) DataFrame — separated from the query so property tests can
+    drive it with synthetic series (tests/test_pipeline_ops_property)."""
     hourly = (
-        cat["events"]
+        events
         .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts"))
         .agg(F.max("value").alias("v"), F.count(F.lit(1)).alias("n"))
     )

@@ -97,3 +97,94 @@ def test_salted_join_equals_plain_join(spark):
         .agg(F.count(F.lit(1)).alias("n"), F.sum("payload").alias("s"))
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 100), st.booleans()),  # (hour offset, present?)
+        min_size=2,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_interpolation_invariants(spark, points):
+    """events_interpolate invariants on arbitrary sparse series, driven
+    through the REAL operator (interpolate_hourly): known points pass
+    through exactly; gap values lie between the bracketing known
+    values; leading/trailing gaps clamp to the nearest known value."""
+    import datetime
+
+    from rdbms_subsetter_spark.queries_ext6 import interpolate_hourly
+
+    present = [(h, float(h * 3 + 1)) for h, p in points if p]
+    if not present:
+        present = [(points[0][0], 1.0)]
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("t", base + datetime.timedelta(hours=h, minutes=7), v)
+        for h, v in present
+    ]
+    df = spark.createDataFrame(rows, ["event_type", "ts", "value"])
+    out = interpolate_hourly(df).collect()
+
+    known = {h: v for h, v in present}
+    lo, hi = min(known), max(known)
+    assert len(out) == hi - lo + 1  # spine covers every hour once
+    for r in out:
+        h = int((r["hour_ts"] - base).total_seconds() // 3600)
+        vi = r["v_interp_e4"] / 10000.0
+        if h in known:
+            assert not r["was_gap"]
+            assert abs(vi - known[h]) < 1e-4
+        else:
+            assert r["was_gap"]
+            prevs = [k for k in known if k < h]
+            nexts = [k for k in known if k > h]
+            if not prevs:
+                assert abs(vi - known[min(nexts)]) < 1e-4
+            elif not nexts:
+                assert abs(vi - known[max(prevs)]) < 1e-4
+            else:
+                a, b = known[max(prevs)], known[min(nexts)]
+                assert min(a, b) - 1e-4 <= vi <= max(a, b) + 1e-4
+
+
+@SLOW
+@given(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=30)
+)
+def test_scd2_intervals_reconstruct_sequence(spark, seq):
+    """scd2 gaps-and-islands invariants on an arbitrary event-type
+    sequence: island event counts sum to the sequence length, intervals
+    are chained (valid_to == next valid_from), and collapsing
+    consecutive duplicates of the input equals the island types."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t, base + datetime.timedelta(minutes=i), i) for i, t in enumerate(seq)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts", "event_id"])
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = (
+        F.lag("event_type").over(w).isNull()
+        | (F.col("event_type") != F.lag("event_type").over(w))
+    ).cast("long")
+    islands = df.withColumn(
+        "island", F.sum(changed).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    iv = (
+        islands.groupBy("user_id", "island", "event_type")
+        .agg(F.min("ts").alias("valid_from"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy("island")
+        .collect()
+    )
+    collapsed = [t for i, t in enumerate(seq) if i == 0 or seq[i - 1] != t]
+    assert [r["event_type"] for r in iv] == collapsed
+    assert sum(r["n_events"] for r in iv) == len(seq)
+    starts = [r["valid_from"] for r in iv]
+    assert starts == sorted(starts)
