@@ -86,6 +86,7 @@ HEADLINE = [
     "sql_pipe_syntax",
     "udf_map_in_arrow",
     "events_downsample_m4",
+    "cdc_apply_changelog",
     "tpch_min_cost_supplier",
     "tpch_volume_shipping",
     "tpch_market_share",

@@ -158,6 +158,7 @@ def ext7_queries() -> dict:
         "mixture_temperature_sample": q_mixture_temperature_sample,
         "join_salted_skew": q_join_salted_skew,
         "events_downsample_m4": q_events_downsample_m4,
+        "cdc_apply_changelog": q_cdc_apply_changelog,
     }
 
 
@@ -167,6 +168,7 @@ def ext7_oracles() -> dict:
         "mixture_temperature_sample": _SQL_MIXTURE_TEMPERATURE,
         "join_salted_skew": _SQL_JOIN_SALTED_SKEW,
         "events_downsample_m4": _SQL_EVENTS_DOWNSAMPLE_M4,
+        "cdc_apply_changelog": _SQL_CDC_APPLY_CHANGELOG,
     }
 
 
@@ -217,4 +219,43 @@ SELECT event_type, day, count(*) AS n_events,
        max(value) AS v_max
 FROM ranked
 GROUP BY 1, 2
+"""
+
+
+def q_cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog application (debezium-style): treat the event log
+    as a change stream keyed by user_id — the latest operation wins,
+    and a tombstone ('error' here) deletes the key from the snapshot.
+    One max_by-shaped aggregate: the per-key argmax over (ts, event_id)
+    is an algebraic aggregate (map-side partials, single shuffle), not
+    a row_number window — the same decision as merge_upsert_latest,
+    because a window would sort every partition of a 100 TB changelog
+    while max_by only keeps one candidate per key per task."""
+    cat = Catalog(spark, sf_dir)
+    ev = cat["events"].select("user_id", "event_type", "ts", "event_id", "value")
+    ordkey = F.struct(F.col("ts"), F.col("event_id"))
+    snap = ev.groupBy("user_id").agg(
+        F.max_by("event_type", ordkey).alias("last_op"),
+        F.max_by(F.round("value", 2), ordkey).alias("last_value"),
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_changes"),
+    )
+    return snap.filter(F.col("last_op") != "error").select(
+        "user_id", "last_op", "last_value", "last_ts", "n_changes"
+    )
+
+
+_SQL_CDC_APPLY_CHANGELOG = """
+WITH ranked AS (
+  SELECT user_id, event_type, ts, round(value, 2) AS value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_changes,
+         max(ts) OVER (PARTITION BY user_id) AS last_ts
+  FROM events
+)
+SELECT user_id, event_type AS last_op, value AS last_value,
+       last_ts, n_changes
+FROM ranked
+WHERE rn = 1 AND event_type <> 'error'
 """
