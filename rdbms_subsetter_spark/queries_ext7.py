@@ -159,6 +159,7 @@ def ext7_queries() -> dict:
         "join_salted_skew": q_join_salted_skew,
         "events_downsample_m4": q_events_downsample_m4,
         "cdc_apply_changelog": q_cdc_apply_changelog,
+        "window_running_distinct": q_window_running_distinct,
     }
 
 
@@ -169,6 +170,7 @@ def ext7_oracles() -> dict:
         "join_salted_skew": _SQL_JOIN_SALTED_SKEW,
         "events_downsample_m4": _SQL_EVENTS_DOWNSAMPLE_M4,
         "cdc_apply_changelog": _SQL_CDC_APPLY_CHANGELOG,
+        "window_running_distinct": _SQL_WINDOW_RUNNING_DISTINCT,
     }
 
 
@@ -258,4 +260,47 @@ SELECT user_id, event_type AS last_op, value AS last_value,
        last_ts, n_changes
 FROM ranked
 WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+def q_window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count over a growing frame — Spark has no
+    windowed count(DISTINCT), so the set itself is carried:
+    size(collect_set() OVER (...rows unbounded preceding)).  Works when
+    per-key cardinality is bounded (5 priorities here); for unbounded
+    domains the scale path is the sketch twin (approx_count_distinct
+    partials merged along the frame).  Restricted to one nation's
+    customers to keep the graded output small."""
+    cat = Catalog(spark, sf_dir)
+    ords = (
+        cat["orders"]
+        .join(
+            F.broadcast(
+                cat["customer"].filter(F.col("c_nationkey") == 7)
+            ).select("c_custkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_semi",
+        )
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ords.select(
+        "o_custkey",
+        "o_orderkey",
+        F.size(F.collect_set("o_orderpriority").over(w)).alias("n_distinct_prio"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_orders_so_far"),
+    )
+
+
+_SQL_WINDOW_RUNNING_DISTINCT = """
+SELECT o_custkey, o_orderkey,
+       CAST(count(DISTINCT o_orderpriority) OVER w AS INT) AS n_distinct_prio,
+       count(*) OVER w AS n_orders_so_far
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey = 7)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
