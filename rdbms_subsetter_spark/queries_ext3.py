@@ -135,13 +135,16 @@ def q_agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-building aggregation: per nation, the sorted distinct set
     of customer market segments (collect_set made deterministic by
-    array_sort) and the customer count."""
+    array_sort) and the customer count.  Serialized to CSV at the query
+    boundary (driver canonicalizer cannot hash list cells)."""
     cat = Catalog(spark, sf_dir)
     return (
         cat["customer"]
         .groupBy("c_nationkey")
         .agg(
-            F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+            F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias(
+                "segments"
+            ),
             F.count(F.lit(1)).alias("n_cust"),
         )
     )
@@ -427,7 +430,13 @@ def q_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rdbms_subsetter_spark.operators.similarity import quantize_int8
 
     cat = Catalog(spark, sf_dir)
-    return quantize_int8(cat["embeddings"])
+    q = quantize_int8(cat["embeddings"])
+    # serialize the int8 vector to CSV at the query boundary: the
+    # driver's pandas canonicalizer cannot hash list-valued cells
+    return q.withColumn(
+        "q_vec",
+        F.array_join(F.transform("q_vec", lambda x: x.cast("string")), ","),
+    )
 
 
 def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -761,9 +770,10 @@ WITH m AS (
 SELECT vec_id,
        round(mn, 6) AS q_min,
        round((mx - mn) / 255.0, 9) AS q_scale,
-       CASE WHEN mx = mn THEN list_transform(e, x -> 0)
-            ELSE list_transform(e, x -> CAST(round((x - mn) / ((mx - mn) / 255.0)) AS INT))
-       END AS q_vec
+       array_to_string(
+         CASE WHEN mx = mn THEN list_transform(e, x -> 0)
+              ELSE list_transform(e, x -> CAST(round((x - mn) / ((mx - mn) / 255.0)) AS INT))
+         END, ',') AS q_vec
 FROM m
 """,
         "doc_chunk_windows": f"""
@@ -797,7 +807,7 @@ WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM part p2
 """,
         "agg_collect_set": """
 SELECT c_nationkey,
-       list_sort(list(DISTINCT c_mktsegment)) AS segments,
+       array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
        count(*) AS n_cust
 FROM customer GROUP BY c_nationkey
 """,
