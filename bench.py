@@ -130,17 +130,38 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
-    )
+
+    # Full per-query detail goes to a file (the driver captures only the
+    # last 2000 bytes of stdout — the r01 single-line dump of all
+    # timings exceeded that and graded as unparseable).  Stdout carries
+    # ONE compact JSON line: summary + as many of the slowest queries as
+    # fit a conservative byte budget, so the driver can always parse it.
+    detail = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    with open(REPO / "BENCH_DETAIL.json", "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
+    summary = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf),
+        "n_queries": len(timings),
+        "queries_file": "BENCH_DETAIL.json",
+        "queries": {},
+    }
+    budget = 1800
+    for name in sorted(timings, key=timings.get, reverse=True):
+        summary["queries"][name] = timings[name]
+        if len(json.dumps(summary)) > budget:
+            del summary["queries"][name]
+            break
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
