@@ -40,7 +40,12 @@ DECODED_SCHEMA = T.StructType(
     ]
 )
 
-FAKE_DECODE = True  # real decoders (PIL/ffmpeg) are not in this image
+try:  # real-decoder gate: use pillow when the runtime has it
+    from PIL import Image as _PIL_Image
+except ImportError:  # this container: no image/audio libs
+    _PIL_Image = None
+
+FAKE_DECODE = _PIL_Image is None  # fake stays the deterministic oracle path
 
 
 def media_from_documents(docs: DataFrame) -> DataFrame:
@@ -69,12 +74,11 @@ def media_metadata(media: DataFrame) -> DataFrame:
 def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     """Deterministic stand-in for an image/audio decoder.
 
-    A real implementation would do ``PIL.Image.open(io.BytesIO(b))`` /
-    ``soundfile.read`` here; the fake derives stable pseudo-dimensions
-    from the byte length so tests have exact expectations.
+    The real twin is ``_real_decode_batch`` (PIL-backed, selected by
+    ``decode_media(decoder=...)``); the fake derives stable
+    pseudo-dimensions from the byte length so tests and the DuckDB
+    oracle have exact expectations.
     """
-    if not FAKE_DECODE:  # pragma: no cover - the real-decoder branch
-        raise NotImplementedError("image/audio decoders not available in this image")
     blen = pdf["payload"].map(len)
     return pd.DataFrame(
         {
@@ -88,13 +92,66 @@ def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def decode_media(media: DataFrame) -> DataFrame:
+def _real_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """PIL-backed image decode (the real path, active when pillow is
+    importable).  Image payloads that fail to parse and non-image media
+    types yield NULL dimensions — a production pipeline routes audio/
+    video to soundfile/ffmpeg, which this container lacks."""
+    import io
+
+    if _PIL_Image is None:  # pragma: no cover - guarded by the gate
+        raise NotImplementedError(
+            "real decode path requires pillow; use decoder='fake' (the "
+            "deterministic oracle path) in this container"
+        )
+    widths: list[int | None] = []
+    heights: list[int | None] = []
+    frames: list[int | None] = []
+    for b, mt in zip(pdf["payload"], pdf["media_type"]):
+        w = h = nf = None
+        if mt == "image":
+            try:
+                with _PIL_Image.open(io.BytesIO(b)) as img:
+                    w, h = img.size
+                    nf = int(getattr(img, "n_frames", 1))
+            except Exception:  # undecodable payload -> NULLs, not a crash
+                pass
+        widths.append(w)
+        heights.append(h)
+        frames.append(nf)
+    return pd.DataFrame(
+        {
+            "media_id": pdf["media_id"],
+            "media_type": pdf["media_type"],
+            "byte_len": pdf["payload"].map(len).astype("int32"),
+            "width": pd.array(widths, dtype="Int32"),
+            "height": pd.array(heights, dtype="Int32"),
+            "n_frames": pd.array(frames, dtype="Int32"),
+        }
+    )
+
+
+def decode_media(media: DataFrame, decoder: str = "fake") -> DataFrame:
     """Arrow-batched decode via ``mapInPandas`` — each task receives
-    whole record batches; no per-row Python round-trips."""
+    whole record batches; no per-row Python round-trips.
+
+    ``decoder``: 'fake' (deterministic stand-in, the oracle path),
+    'real' (PIL; raises if pillow is absent), or 'auto' (real when
+    available, else fake).  Graded queries pin 'fake' so results stay
+    engine-portable regardless of what the runtime has installed."""
+    if decoder == "auto":
+        decoder = "fake" if FAKE_DECODE else "real"
+    if decoder not in ("fake", "real"):
+        raise ValueError(f"decoder must be fake|real|auto, got {decoder!r}")
+    batch_fn = _fake_decode_batch if decoder == "fake" else _real_decode_batch
+    if decoder == "real" and _PIL_Image is None:
+        raise NotImplementedError(
+            "real decode path requires pillow; this container has no image libs"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _fake_decode_batch(pdf)
+            yield batch_fn(pdf)
 
     return media.mapInPandas(run, schema=DECODED_SCHEMA)
 

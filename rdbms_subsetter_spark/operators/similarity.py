@@ -43,6 +43,25 @@ def with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
     return df.withColumn("__norm", norm(F.col(vec)))
 
 
+#: API contract for cosine_topk / ivf_topk: the query side is collected
+#: to the driver and broadcast, so it must be BOUNDED.  Guarded with an
+#: explicit raise instead of letting an unbounded query set OOM the
+#: driver mid-collect; for corpus-sized "query" sides use the symmetric
+#: operators (srp/banded near-dup) instead.
+MAX_QUERY_VECTORS = 100_000
+
+
+def _bounded_query_rows(queries: DataFrame, op: str) -> list:
+    rows = queries.select("vec_id", "embedding").limit(MAX_QUERY_VECTORS + 1).collect()
+    if len(rows) > MAX_QUERY_VECTORS:
+        raise ValueError(
+            f"{op}: query set exceeds MAX_QUERY_VECTORS={MAX_QUERY_VECTORS} "
+            "(the query side is driver-collected and broadcast; a corpus-"
+            "sized query side belongs in cosine_near_dup_pairs/srp_topk)"
+        )
+    return rows
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -64,7 +83,7 @@ def cosine_topk(
     import pandas as pd
     from pyspark.sql import types as T
 
-    q_rows = queries.select("vec_id", "embedding").collect()
+    q_rows = _bounded_query_rows(queries, "cosine_topk")
     if not q_rows:
         empty = corpus.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, cosine double, rank int"
@@ -307,7 +326,7 @@ def ivf_topk(
 
     cells = corpus.select("vec_id", "embedding").mapInPandas(assign, assign_schema)
 
-    q_rows = queries.select("vec_id", "embedding").collect()
+    q_rows = _bounded_query_rows(queries, "ivf_topk")
     if not q_rows:
         return corpus.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, cosine double, rank int"

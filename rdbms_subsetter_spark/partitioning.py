@@ -136,10 +136,23 @@ def salted_join(
     row gets a salt in [0, salt), the medium side is exploded across ALL
     salt values, and the join key widens to (key, salt) — a hot key's
     rows spread over ``salt`` tasks instead of melting one reducer.
-    Result is identical to the plain join; only the plan changes.  The
-    big side's salt need not be deterministic (any value joins), so a
-    cheap id-derived salt is used rather than a row hash.
+
+    Only ``inner``/``left``/``left_semi``/``left_anti``/``cross`` are
+    accepted: for those the result is identical to the plain join.  For
+    ``right``/``full`` the replicated medium side would emit each
+    UNMATCHED medium row once per salt value (salt copies with null big
+    columns), so those types raise — salt the other way around instead.
+    The big side's salt need not be deterministic (any value joins), so
+    a cheap id-derived salt is used rather than a row hash.
     """
+    safe = {"inner", "left", "leftouter", "left_outer", "left_semi",
+            "leftsemi", "semi", "left_anti", "leftanti", "anti", "cross"}
+    if how.lower() not in safe:
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched replicated "
+            "medium rows (one per salt value); use inner/left/semi/anti, or "
+            "swap sides so the preserved side is the salted one"
+        )
     salted = big.withColumn(
         "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt)).cast("int")
     )

@@ -58,19 +58,29 @@ def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the nested-subquery form, written as a linear pipeline —
     scan |> filter |> aggregate |> filter |> order.  Catalyst compiles
     both spellings identically (pushdown, partial aggs); the oracle is
-    the plain-SQL twin."""
+    the plain-SQL twin.
+
+    The source is bound via a scoped, uniquely-named temp view that is
+    dropped before returning (the DataFrame holds the resolved plan, not
+    the name): registering it as 'orders' would leak a session-global
+    view shadowing the catalog table for every later query in the same
+    session — stale if sf_dir changes."""
     cat = Catalog(spark, sf_dir)
-    cat["orders"].createOrReplaceTempView("orders")
-    return spark.sql(
-        """
-        FROM orders
-        |> WHERE o_orderstatus <> 'P'
-        |> AGGREGATE count(*) AS n_orders,
-                     round(sum(o_totalprice), 2) AS total_price
-           GROUP BY o_orderpriority, CAST(year(o_orderdate) AS INT) AS o_year
-        |> WHERE n_orders > 5
-        """
-    )
+    view = f"__pipe_orders_{abs(hash(sf_dir)) % 10**9}"
+    cat["orders"].createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            f"""
+            FROM {view}
+            |> WHERE o_orderstatus <> 'P'
+            |> AGGREGATE count(*) AS n_orders,
+                         round(sum(o_totalprice), 2) AS total_price
+               GROUP BY o_orderpriority, CAST(year(o_orderdate) AS INT) AS o_year
+            |> WHERE n_orders > 5
+            """
+        )
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 _SQL_PIPE_SYNTAX = """

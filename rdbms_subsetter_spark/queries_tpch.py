@@ -383,7 +383,13 @@ def q_tpch_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast as a 1-row cross join — the threshold comparison happens
     after both aggregations, so the big scan runs exactly once per
     side (Spark reuses the shuffle for the two aggs of the same
-    child under AQE)."""
+    child under AQE).
+
+    Both sides of the 5% threshold are rounded to cents before the
+    comparison (in the oracle too): float sums are accumulation-order-
+    dependent, and comparing raw doubles would let a p_type within float
+    noise of the threshold be included by one engine and excluded by the
+    other, flipping the hash gate."""
     cat = Catalog(spark, sf_dir)
     value = F.col("p_retailprice") * F.col("l_quantity")
     joined = cat["lineitem"].join(
@@ -393,7 +399,7 @@ def q_tpch_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = joined.agg(F.sum(value).alias("total"))
     return (
         per_type.crossJoin(F.broadcast(total))
-        .filter(F.col("val") > F.lit(0.05) * F.col("total"))
+        .filter(F.round(F.col("val"), 2) > F.round(F.lit(0.05) * F.col("total"), 2))
         .select("p_type", F.round("val", 2).alias("inventory_value"))
     )
 
@@ -402,8 +408,8 @@ _SQL_IMPORTANT_PARTS = """
 SELECT p_type, round(sum(p_retailprice * l_quantity), 2) AS inventory_value
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_type
-HAVING sum(p_retailprice * l_quantity) >
-       (SELECT 0.05 * sum(p_retailprice * l_quantity)
+HAVING round(sum(p_retailprice * l_quantity), 2) >
+       (SELECT round(0.05 * sum(p_retailprice * l_quantity), 2)
         FROM lineitem JOIN part ON l_partkey = p_partkey)
 """
 

@@ -200,13 +200,34 @@ def text_roundtrip(df: DataFrame, cols: list[str], tag: str, sep: str = "\t") ->
     read it back with the line-oriented ``spark.read.text`` source,
     re-splitting into string columns.  The rawest connector Spark has —
     the on-ramp for log-shaped corpora where each line is a record and
-    schema is applied after the fact.  Caller guarantees the separator
-    does not occur in the values (asserted cheaply on read)."""
+    schema is applied after the fact.
+
+    Caller guarantees the separator does not occur in the values and
+    that the columns are non-null — ``concat_ws`` silently DROPS null
+    fields, shifting every later column left.  Both preconditions are
+    enforced: nulls raise at plan time via ``raise_error``, and the read
+    side filters to lines that split into exactly ``len(cols)`` fields,
+    so a separator collision surfaces as a row-count mismatch in the
+    round-trip gate instead of silently mis-splitting.  ``sep`` is
+    regex-escaped for ``F.split`` (it is a literal here; unescaped, a
+    caller passing '|' or '.' would split on every character)."""
+    import re
+
     out = _scratch_dir("text", tag)
-    line = F.concat_ws(sep, *[F.col(c).cast("string") for c in cols])
-    df.select(line.alias("value")).write.mode("overwrite").text(out)
+    guarded = [
+        F.when(
+            F.col(c).isNull(),
+            F.raise_error(F.lit(f"text_roundtrip: null in column {c!r}")),
+        )
+        .otherwise(F.col(c).cast("string"))
+        .alias(c)
+        for c in cols
+    ]
+    line = F.concat_ws(sep, *[F.col(c) for c in cols])
+    df.select(*guarded).select(line.alias("value")).write.mode("overwrite").text(out)
     raw = df.sparkSession.read.text(out)
-    parts = F.split(F.col("value"), sep)
-    return raw.select(
-        *[parts.getItem(i).alias(c) for i, c in enumerate(cols)]
+    parts = F.split(F.col("value"), re.escape(sep))
+    return (
+        raw.filter(F.size(parts) == len(cols))
+        .select(*[parts.getItem(i).alias(c) for i, c in enumerate(cols)])
     )

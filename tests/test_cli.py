@@ -84,3 +84,52 @@ def test_cli_config_merge(spark, tmp_path):
     ev_users = cat["events"].select(F.col("user_id").alias("c_custkey")).na.drop()
     missing = ev_users.join(cat["customer"], on="c_custkey", how="left_anti")
     assert missing.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# JDBC round-trip smoke (env-gated: needs a driver jar on the classpath)
+# ---------------------------------------------------------------------------
+
+
+def test_jdbc_roundtrip_smoke(spark, tmp_path):
+    """If any JDBC driver is on the JVM classpath (launch with
+    spark-submit --jars ... or SPARK_GRAFT_JDBC_DRIVER/URL), subset a
+    table parquet->JDBC->read-back and verify integrity; otherwise skip
+    cleanly — this container ships no driver jar."""
+    import os
+
+    import pytest
+
+    from rdbms_subsetter_spark.catalog import Catalog
+    from rdbms_subsetter_spark.sources import io as srcio
+    from tests.conftest import SF_SMALL
+
+    candidates = [
+        (
+            os.environ.get("SPARK_GRAFT_JDBC_DRIVER", ""),
+            os.environ.get("SPARK_GRAFT_JDBC_URL", ""),
+        ),
+        ("org.sqlite.JDBC", f"jdbc:sqlite:{tmp_path}/rt.db"),
+        ("org.h2.Driver", f"jdbc:h2:{tmp_path}/rt"),
+        ("org.postgresql.Driver", os.environ.get("SPARK_GRAFT_PG_URL", "")),
+    ]
+    driver = url = None
+    for d, u in candidates:
+        if not d or not u:
+            continue
+        try:
+            srcio._check_jdbc(spark, d)
+        except NotImplementedError:
+            continue
+        driver, url = d, u
+        break
+    if driver is None:
+        pytest.skip("no JDBC driver jar on the classpath")
+
+    nation = Catalog(spark, SF_SMALL)["nation"]
+    srcio.write_jdbc(nation, url, "nation_rt", driver=driver, mode="overwrite")
+    back = srcio.read_jdbc(spark, url, "nation_rt", driver=driver)
+    assert back.count() == nation.count()
+    orig = {r["n_nationkey"]: r["n_name"] for r in nation.collect()}
+    got = {r["n_nationkey"]: r["n_name"] for r in back.collect()}
+    assert got == orig

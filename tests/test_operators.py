@@ -241,3 +241,46 @@ def test_pagerank_nodes_are_sources_fast_path(spark):
         for r in graph.pagerank(edges, iterations=6, nodes_are_sources=True).collect()
     }
     assert slow == fast
+
+
+# ---------------------------------------------------------------------------
+# Multimodal decoder gate: run whichever branch this runtime supports
+# ---------------------------------------------------------------------------
+
+
+def test_multimodal_decoder_gate(spark):
+    """decode_media(decoder='auto') must pick the PIL path when pillow
+    is importable and the deterministic fake otherwise; the unavailable
+    branch must raise NotImplementedError, never silently fake."""
+    from rdbms_subsetter_spark.catalog import Catalog
+    from rdbms_subsetter_spark.operators import multimodal
+    from tests.conftest import SF_SMALL
+
+    media = multimodal.media_from_documents(
+        Catalog(spark, SF_SMALL)["documents"]
+    ).limit(8)
+
+    if multimodal.FAKE_DECODE:
+        rows = multimodal.decode_media(media, decoder="auto").collect()
+        assert rows and all(r["width"] == r["byte_len"] % 640 + 1 for r in rows)
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError):
+            multimodal.decode_media(media, decoder="real")
+    else:
+        # pillow present: payloads here are fake UTF-8 blobs, so the real
+        # decoder must yield NULL dims (not crash); a genuine PNG decodes
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (13, 7)).save(buf, format="PNG")
+        png = buf.getvalue()
+        df = spark.createDataFrame(
+            [(1, png, "image")], "media_id long, payload binary, media_type string"
+        )
+        real = {r["media_id"]: r for r in multimodal.decode_media(df, decoder="real").collect()}
+        assert real[1]["width"] == 13 and real[1]["height"] == 7
+        fake_rows = multimodal.decode_media(media, decoder="real").collect()
+        assert all(r["width"] is None for r in fake_rows if r["media_type"] == "image")
