@@ -28,6 +28,7 @@ from rdbms_subsetter_spark.queries_ext5 import ext5_oracles, ext5_queries  # noq
 from rdbms_subsetter_spark.queries_ext6 import ext6_oracles, ext6_queries  # noqa: E402
 from rdbms_subsetter_spark.queries_ext7 import ext7_oracles, ext7_queries  # noqa: E402
 from rdbms_subsetter_spark.queries_ext8 import ext8_oracles, ext8_queries  # noqa: E402
+from rdbms_subsetter_spark.queries_ext9 import ext9_oracles, ext9_queries  # noqa: E402
 from rdbms_subsetter_spark.queries_tpch import tpch_oracles, tpch_queries  # noqa: E402
 
 
@@ -59,6 +60,9 @@ _R01_VERIFIED = [
     "csv_source_agg", "json_source_agg",
 ]
 
+# New operators this round — no driver verdict yet, grade early.
+_NEW_THIS_ROUND = ["pii_redact", "shard_assignment", "zorder_cluster", "curation_funnel"]
+
 # Changed since their last driver verdict — must be (re)graded first.
 _CHANGED_THIS_ROUND = [
     "map_functions",            # r01 grading failure: list-valued output
@@ -79,14 +83,16 @@ def _grading_order(names: list[str]) -> list[str]:
         if n in changed:
             return 0
         if n in verified:
-            return 5  # already green — re-grade last
-        if n.startswith("tpch_"):
+            return 6  # already green — re-grade last
+        if n in _NEW_THIS_ROUND:
             return 1
-        if n.startswith("sql_"):
+        if n.startswith("tpch_"):
             return 2
-        if n.startswith(("streaming_", "udf_", "udtf_")):
+        if n.startswith("sql_"):
             return 3
-        return 4
+        if n.startswith(("streaming_", "udf_", "udtf_")):
+            return 4
+        return 5
 
     return sorted(names, key=lambda n: (bucket(n), names.index(n)))
 
@@ -102,6 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(ext6_queries())
     out.update(ext7_queries())
     out.update(ext8_queries())
+    out.update(ext9_queries())
     out.update(tpch_queries())
     ordered = _grading_order(list(out))
     return {n: out[n] for n in ordered}
@@ -119,6 +126,7 @@ def oracle_sql() -> dict[str, str]:
         **ext6_oracles(),
         **ext7_oracles(),
         **ext8_oracles(),
+        **ext9_oracles(),
         **tpch_oracles(),
     }.items():
         if sql is not None:

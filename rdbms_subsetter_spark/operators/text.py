@@ -209,3 +209,47 @@ def pack_sequences(docs: DataFrame, capacity: int = 512) -> DataFrame:
         "n_tok",
         F.floor(cum_before / capacity).cast("int").alias("bin_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data compliance pass)
+# ---------------------------------------------------------------------------
+
+#: Deliberately lookaround-free patterns: they must behave identically
+#: under Java regex (Spark, JVM-side regexp_replace/regexp_count) and
+#: RE2 (DuckDB oracle), and RE2 has no lookbehind at all.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[- ]\d{3}[- ]?\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind PII match counts (JVM-side ``regexp_count``)."""
+    return {k: F.regexp_count(text, F.lit(p)) for k, p in PII_PATTERNS.items()}
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub emails / phone numbers / IPv4s from ``text_col``: each kind
+    is replaced with its ``[KIND]`` placeholder, with per-kind match
+    counts kept as audit columns (the compliance report a redaction run
+    must produce).
+
+    One projection, all JVM regex — no UDFs, no extra scan: counts are
+    computed on the original text, replacements chain left to right in
+    ``PII_PATTERNS`` order (email first, so phone/IP fragments inside an
+    address are not double-counted).  At 100 TB this is a map-only pass:
+    no shuffle, safe behind any scan.
+    """
+    t = F.col(text_col)
+    counts = pii_counts(t)
+    redacted = t
+    for kind, pat in PII_PATTERNS.items():
+        redacted = F.regexp_replace(redacted, pat, f"[{kind.upper()}]")
+    return docs.withColumns(
+        {
+            **{f"n_{k}": c for k, c in counts.items()},
+            f"{text_col}_redacted": redacted,
+        }
+    )

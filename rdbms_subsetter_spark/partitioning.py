@@ -163,3 +163,63 @@ def salted_join(
         rep, (salted[big_key] == rep[medium_key]) & (salted["__salt"] == rep["__salt"]), how
     )
     return joined.drop("__salt")
+
+
+# ---------------------------------------------------------------------------
+# data-layout operators: z-order clustering, deterministic sharding
+# ---------------------------------------------------------------------------
+
+
+def z_value(x: "F.Column", y: "F.Column", bits: int = 16) -> "F.Column":
+    """Morton (Z-order) interleave of two non-negative ints: bit i of x
+    lands at position 2i, bit i of y at 2i+1.
+
+    This is the layout key behind multi-dimensional clustering (Delta
+    OPTIMIZE ZORDER BY, Iceberg sort orders): rows sorted by z_value put
+    records close in BOTH dimensions into the same files, so range
+    predicates on either column prune most files — at 100 TB, writing
+    sorted-by-z is a one-time cost that every later selective scan
+    repays.  Pure bitwise codegen (shifts/and/or), reproducible in any
+    engine; inputs must fit ``bits`` bits (caller masks/buckets first).
+    """
+    # addition, not |: Column.__or__ is logical OR in Spark, and the
+    # shifted terms occupy disjoint bit positions so + IS bitwise-or
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x.cast("long"), i) % 2, 2 * i)
+            + F.shiftleft(F.shiftright(y.cast("long"), i) % 2, 2 * i + 1)
+        )
+    return z
+
+
+def shard_assignment(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic pseudorandom shard + position for training-data
+    serving: shard = portable_md5(id) mod n_shards, position = rank of
+    the hash within the shard.  The permutation is reproducible across
+    engines and runs (seeded md5, no RNG state), which is what a
+    resumable data loader needs: epoch N's order can be recomputed from
+    (seed, ids) alone.
+
+    Scale shape: one hash projection + one window sort per shard
+    partition — the sort is per-shard (n_shards independent ranges),
+    never a global single-task order-by.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("shard").orderBy("sort_key", id_col)
+    return (
+        df.withColumn("sort_key", h)
+        .withColumn("shard", F.pmod(F.col("sort_key"), F.lit(n_shards)).cast("int"))
+        .withColumn("position", F.row_number().over(w))
+        .drop("sort_key")
+    )
