@@ -29,6 +29,7 @@ from rdbms_subsetter_spark.queries_ext6 import ext6_oracles, ext6_queries  # noq
 from rdbms_subsetter_spark.queries_ext7 import ext7_oracles, ext7_queries  # noqa: E402
 from rdbms_subsetter_spark.queries_ext8 import ext8_oracles, ext8_queries  # noqa: E402
 from rdbms_subsetter_spark.queries_ext9 import ext9_oracles, ext9_queries  # noqa: E402
+from rdbms_subsetter_spark.queries_ext10 import ext10_oracles, ext10_queries  # noqa: E402
 from rdbms_subsetter_spark.queries_tpch import tpch_oracles, tpch_queries  # noqa: E402
 
 
@@ -61,7 +62,13 @@ _R01_VERIFIED = [
 ]
 
 # New operators this round — no driver verdict yet, grade early.
-_NEW_THIS_ROUND = ["pii_redact", "shard_assignment", "zorder_cluster", "curation_funnel"]
+_NEW_THIS_ROUND = [
+    "pii_redact", "shard_assignment", "zorder_cluster", "curation_funnel",
+    "docpipe_gopher_rules", "split_train_valid_test", "heavy_hitters_tokens",
+    "token_length_histogram", "skew_report", "events_anomaly_zscore",
+    "incr_ingest_watermark", "dedup_substring_coverage", "embed_norm_stats",
+    "sql_group_by_all", "agg_unpivot",
+]
 
 # Changed since their last driver verdict — must be (re)graded first.
 _CHANGED_THIS_ROUND = [
@@ -109,6 +116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(ext7_queries())
     out.update(ext8_queries())
     out.update(ext9_queries())
+    out.update(ext10_queries())
     out.update(tpch_queries())
     ordered = _grading_order(list(out))
     return {n: out[n] for n in ordered}
@@ -127,6 +135,7 @@ def oracle_sql() -> dict[str, str]:
         **ext7_oracles(),
         **ext8_oracles(),
         **ext9_oracles(),
+        **ext10_oracles(),
         **tpch_oracles(),
     }.items():
         if sql is not None:

@@ -95,6 +95,11 @@ HEADLINE = [
     "tpch_disjunctive_filter",
     "tpch_waiting_suppliers",
     "tpch_dominant_supplier",
+    "docpipe_gopher_rules",
+    "heavy_hitters_tokens",
+    "dedup_substring_coverage",
+    "events_anomaly_zscore",
+    "split_train_valid_test",
 ]
 
 
