@@ -67,7 +67,8 @@ _NEW_THIS_ROUND = [
     "docpipe_gopher_rules", "split_train_valid_test", "heavy_hitters_tokens",
     "token_length_histogram", "skew_report", "events_anomaly_zscore",
     "incr_ingest_watermark", "dedup_substring_coverage", "embed_norm_stats",
-    "sql_group_by_all", "agg_unpivot",
+    "sql_group_by_all", "agg_unpivot", "dq_constraint_report", "er_fuzzy_join",
+    "file_layout_report", "events_winsorize",
 ]
 
 # Changed since their last driver verdict — must be (re)graded first.

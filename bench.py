@@ -100,6 +100,9 @@ HEADLINE = [
     "dedup_substring_coverage",
     "events_anomaly_zscore",
     "split_train_valid_test",
+    "er_fuzzy_join",
+    "events_winsorize",
+    "dq_constraint_report",
 ]
 
 

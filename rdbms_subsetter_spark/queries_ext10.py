@@ -559,6 +559,264 @@ UNPIVOT (val FOR metric IN (total_cents, avg_cents, n_customers))
 """
 
 
+# ---------------------------------------------------------------------------
+# Data-quality constraint report (Deequ-style checks)
+# ---------------------------------------------------------------------------
+
+
+def q_dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint suite in the Deequ style:
+    completeness, key uniqueness, accepted-values, bounds, and
+    referential integrity — each check one row of (check name, metric,
+    pass/fail).  Per-table checks fold into a single aggregate per scan;
+    the referential check is a broadcast-able anti-join count.  All
+    metrics are exact integer ratios (deterministic cross-engine)."""
+    cat = Catalog(spark, sf_dir)
+    orders, li = cat["orders"], cat["lineitem"]
+
+    def report(name: str, metric: F.Column, threshold: float) -> F.Column:
+        m = F.round(metric, 6)
+        return F.struct(
+            F.lit(name).alias("check_name"),
+            m.alias("metric"),
+            F.when(m >= threshold, F.lit("pass")).otherwise(F.lit("fail")).alias("status"),
+        )
+
+    o_checks = orders.agg(
+        F.array(
+            report(
+                "orders.o_custkey.completeness",
+                F.count("o_custkey") / F.count(F.lit(1)),
+                1.0,
+            ),
+            report(
+                "orders.o_orderkey.uniqueness",
+                F.count_distinct("o_orderkey") / F.count(F.lit(1)),
+                1.0,
+            ),
+            report(
+                "orders.o_orderstatus.accepted_values",
+                F.sum(F.col("o_orderstatus").isin("O", "F", "P").cast("long"))
+                / F.count(F.lit(1)),
+                1.0,
+            ),
+            report(
+                "orders.o_totalprice.non_negative",
+                F.sum((F.col("o_totalprice") >= 0).cast("long")) / F.count(F.lit(1)),
+                1.0,
+            ),
+        ).alias("arr")
+    ).select(F.explode("arr").alias("r"))
+    ref_metric = F.count("o_orderkey") / F.count(F.lit(1))
+    ref_check = (
+        li.join(
+            orders.select("o_orderkey"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+            "left",
+        )
+        .agg(F.array(report("lineitem.l_orderkey.ref_orders", ref_metric, 1.0)).alias("arr"))
+        .select(F.explode("arr").alias("r"))
+    )
+    return o_checks.unionByName(ref_check).select("r.check_name", "r.metric", "r.status")
+
+
+_SQL_DQ_REPORT = """
+WITH o AS (
+  SELECT count(*) AS n, count(o_custkey) AS n_cust,
+         count(DISTINCT o_orderkey) AS n_key,
+         sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS n_status,
+         sum(CASE WHEN o_totalprice >= 0 THEN 1 ELSE 0 END) AS n_pos
+  FROM orders),
+r AS (
+  SELECT count(*) AS n, count(o.o_orderkey) AS n_matched
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
+m AS (
+  SELECT 'orders.o_custkey.completeness' AS check_name,
+         round(n_cust * 1.0 / n, 6) AS metric FROM o
+  UNION ALL
+  SELECT 'orders.o_orderkey.uniqueness', round(n_key * 1.0 / n, 6) FROM o
+  UNION ALL
+  SELECT 'orders.o_orderstatus.accepted_values', round(n_status * 1.0 / n, 6) FROM o
+  UNION ALL
+  SELECT 'orders.o_totalprice.non_negative', round(n_pos * 1.0 / n, 6) FROM o
+  UNION ALL
+  SELECT 'lineitem.l_orderkey.ref_orders', round(n_matched * 1.0 / n, 6) FROM r)
+SELECT check_name, metric,
+       CASE WHEN metric >= 1.0 THEN 'pass' ELSE 'fail' END AS status
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution: blocked fuzzy join (levenshtein within block)
+# ---------------------------------------------------------------------------
+
+
+def q_er_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution join: a deterministically corrupted subset of
+    part names (second character deleted, keys ≡ 0 mod 7) is matched
+    back to the clean catalog by BLOCKING on the corruption-invariant
+    last word, then exact levenshtein ≤ 2 within the block, best match
+    = min (distance, partkey) via one window.
+
+    Scale shape: the blocked equi-join bounds candidate pairs to
+    |block|×|corrupted-in-block| — never the all-pairs |A|×|B| a naive
+    fuzzy join needs.  Blocks are the standard ER answer at 100 TB
+    (multi-pass blocking on several invariants if recall matters)."""
+    cat = Catalog(spark, sf_dir)
+    parts = cat["part"]
+    block = F.regexp_extract(F.col("p_name"), "[^ ]+$", 0)
+    corrupted = (
+        parts.where(F.col("p_partkey") % 7 == 0)
+        .select(
+            F.col("p_partkey").alias("dirty_key"),
+            F.concat(
+                F.substring("p_name", 1, 1), F.expr("substring(p_name, 3)")
+            ).alias("dirty_name"),
+            block.alias("block"),
+        )
+    )
+    clean = parts.select(
+        F.col("p_partkey").alias("cand_key"),
+        F.col("p_name").alias("cand_name"),
+        block.alias("block"),
+    )
+    lev = F.levenshtein("dirty_name", "cand_name")
+    cands = (
+        corrupted.join(clean, "block")
+        .where(lev <= 2)
+        .select(
+            "dirty_key",
+            "dirty_name",
+            "cand_key",
+            "cand_name",
+            lev.cast("long").alias("lev"),
+        )
+    )
+    w = Window.partitionBy("dirty_key").orderBy("lev", "cand_key")
+    return (
+        cands.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("dirty_key", "dirty_name", "cand_key", "cand_name", "lev")
+    )
+
+
+_SQL_ER_FUZZY_JOIN = """
+WITH corrupted AS (
+  SELECT p_partkey AS dirty_key,
+         substr(p_name, 1, 1) || substr(p_name, 3) AS dirty_name,
+         regexp_extract(p_name, '[^ ]+$', 0) AS block
+  FROM part WHERE p_partkey % 7 = 0),
+clean AS (
+  SELECT p_partkey AS cand_key, p_name AS cand_name,
+         regexp_extract(p_name, '[^ ]+$', 0) AS block
+  FROM part),
+cands AS (
+  SELECT dirty_key, dirty_name, cand_key, cand_name,
+         levenshtein(dirty_name, cand_name) AS lev
+  FROM corrupted JOIN clean USING (block)
+  WHERE levenshtein(dirty_name, cand_name) <= 2)
+SELECT dirty_key, dirty_name, cand_key, cand_name, CAST(lev AS BIGINT) AS lev
+FROM (SELECT *, row_number() OVER (PARTITION BY dirty_key ORDER BY lev, cand_key) AS rn
+      FROM cands)
+WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# File-layout report from scan metadata
+# ---------------------------------------------------------------------------
+
+_LAYOUT_TABLES = ["orders", "lineitem", "documents"]
+
+
+def q_file_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files / layout audit: per input parquet file, row count via
+    the hidden ``_metadata`` scan column — the report that drives
+    compaction planning (a 100 TB table shredded into KB-size files is
+    an open-file-handle and scheduler-overhead disaster; target-size
+    compaction fixes it).  Columnless scan: only file metadata and the
+    grouping key are materialized."""
+    cat = Catalog(spark, sf_dir)
+    out = None
+    for t in _LAYOUT_TABLES:
+        df = (
+            spark.read.parquet(cat.path(t))
+            .select(
+                F.lit(t).alias("table_name"),
+                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+                    "file_name"
+                ),
+            )
+            .groupBy("table_name", "file_name")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+        )
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def _layout_sql() -> str:
+    # the testdata layout is one parquet file per table named
+    # '{table}.parquet', so the oracle derives file_name as a literal
+    # and counts through the registered view — no filesystem access
+    selects = [
+        f"SELECT '{t}' AS table_name, '{t}.parquet' AS file_name, "
+        f"count(*) AS n_rows FROM {t}"
+        for t in _LAYOUT_TABLES
+    ]
+    return "\nUNION ALL\n".join(selects)
+
+
+_SQL_FILE_LAYOUT = _layout_sql()
+
+
+# ---------------------------------------------------------------------------
+# Winsorized robust mean per group
+# ---------------------------------------------------------------------------
+
+
+def q_events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (p05/p95-clipped) robust mean of event values per
+    event_type.  Exact interpolated percentiles aggregate once per group
+    (tiny frame), broadcast back onto the scan for clipping — the same
+    two-pass no-raw-shuffle shape as the z-score anomaly query."""
+    cat = Catalog(spark, sf_dir)
+    ev = cat["events"]
+    pcts = ev.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.05)).alias("p05"),
+        F.percentile(F.col("value"), F.lit(0.95)).alias("p95"),
+    )
+    clipped = ev.join(F.broadcast(pcts), "event_type").select(
+        "event_type",
+        "value",
+        F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")).alias("wv"),
+        (F.col("value") < F.col("p05")).cast("long").alias("lo"),
+        (F.col("value") > F.col("p95")).cast("long").alias("hi"),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lo").alias("n_clipped_lo"),
+        F.sum("hi").alias("n_clipped_hi"),
+        F.round(F.avg("wv"), 4).alias("mean_winsorized"),
+    )
+
+
+_SQL_EVENTS_WINSORIZE = """
+WITH pcts AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS p05,
+         quantile_cont(value, 0.95) AS p95
+  FROM events GROUP BY event_type)
+SELECT event_type,
+       count(*) AS n,
+       sum(CASE WHEN value < p05 THEN 1 ELSE 0 END) AS n_clipped_lo,
+       sum(CASE WHEN value > p95 THEN 1 ELSE 0 END) AS n_clipped_hi,
+       round(avg(least(greatest(value, p05), p95)), 4) AS mean_winsorized
+FROM events JOIN pcts USING (event_type)
+GROUP BY event_type
+"""
+
+
 def ext10_queries() -> dict:
     return {
         "docpipe_gopher_rules": q_docpipe_gopher_rules,
@@ -572,6 +830,10 @@ def ext10_queries() -> dict:
         "embed_norm_stats": q_embed_norm_stats,
         "sql_group_by_all": q_sql_group_by_all,
         "agg_unpivot": q_agg_unpivot,
+        "dq_constraint_report": q_dq_constraint_report,
+        "er_fuzzy_join": q_er_fuzzy_join,
+        "file_layout_report": q_file_layout_report,
+        "events_winsorize": q_events_winsorize,
     }
 
 
@@ -588,4 +850,8 @@ def ext10_oracles() -> dict:
         "embed_norm_stats": _SQL_EMBED_NORM_STATS,
         "sql_group_by_all": _SQL_GROUP_BY_ALL,
         "agg_unpivot": _SQL_AGG_UNPIVOT,
+        "dq_constraint_report": _SQL_DQ_REPORT,
+        "er_fuzzy_join": _SQL_ER_FUZZY_JOIN,
+        "file_layout_report": _SQL_FILE_LAYOUT,
+        "events_winsorize": _SQL_EVENTS_WINSORIZE,
     }
