@@ -30,6 +30,7 @@ from rdbms_subsetter_spark.queries_ext7 import ext7_oracles, ext7_queries  # noq
 from rdbms_subsetter_spark.queries_ext8 import ext8_oracles, ext8_queries  # noqa: E402
 from rdbms_subsetter_spark.queries_ext9 import ext9_oracles, ext9_queries  # noqa: E402
 from rdbms_subsetter_spark.queries_ext10 import ext10_oracles, ext10_queries  # noqa: E402
+from rdbms_subsetter_spark.queries_ext11 import ext11_oracles, ext11_queries  # noqa: E402
 from rdbms_subsetter_spark.queries_tpch import tpch_oracles, tpch_queries  # noqa: E402
 
 
@@ -68,7 +69,8 @@ _NEW_THIS_ROUND = [
     "token_length_histogram", "skew_report", "events_anomaly_zscore",
     "incr_ingest_watermark", "dedup_substring_coverage", "embed_norm_stats",
     "sql_group_by_all", "agg_unpivot", "dq_constraint_report", "er_fuzzy_join",
-    "file_layout_report", "events_winsorize",
+    "file_layout_report", "events_winsorize", "events_attribution",
+    "events_cohort_matrix",
 ]
 
 # Changed since their last driver verdict — must be (re)graded first.
@@ -118,6 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(ext8_queries())
     out.update(ext9_queries())
     out.update(ext10_queries())
+    out.update(ext11_queries())
     out.update(tpch_queries())
     ordered = _grading_order(list(out))
     return {n: out[n] for n in ordered}
@@ -137,6 +140,7 @@ def oracle_sql() -> dict[str, str]:
         **ext8_oracles(),
         **ext9_oracles(),
         **ext10_oracles(),
+        **ext11_oracles(),
         **tpch_oracles(),
     }.items():
         if sql is not None:

@@ -103,6 +103,8 @@ HEADLINE = [
     "er_fuzzy_join",
     "events_winsorize",
     "dq_constraint_report",
+    "events_attribution",
+    "events_cohort_matrix",
 ]
 
 
