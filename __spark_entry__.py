@@ -70,7 +70,7 @@ _NEW_THIS_ROUND = [
     "incr_ingest_watermark", "dedup_substring_coverage", "embed_norm_stats",
     "sql_group_by_all", "agg_unpivot", "dq_constraint_report", "er_fuzzy_join",
     "file_layout_report", "events_winsorize", "events_attribution",
-    "events_cohort_matrix",
+    "events_cohort_matrix", "events_mad_outliers", "dq_benford_digits",
 ]
 
 # Changed since their last driver verdict — must be (re)graded first.

@@ -48,19 +48,28 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
         F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
     ).where(F.col("event_type") == "purchase")
-
-    def attribute(mode: str, col: str) -> DataFrame:
-        return (
-            flagged.groupBy(F.coalesce(F.col(col), F.lit("none")).alias("touch_type"))
-            .agg(
-                F.count(F.lit(1)).alias("n_purchases"),
-                F.round(F.sum("value"), 2).alias("attributed_value"),
-            )
-            .select(F.lit(mode).alias("mode"), "touch_type", "n_purchases", "attributed_value")
+    # explode both modes from the ONE window pass — a union of two
+    # groupBys would make Spark duplicate the whole window subtree and
+    # pay the per-user sort twice (verified in the physical plan)
+    modes = F.explode(
+        F.array(
+            F.struct(
+                F.lit("last_touch").alias("mode"),
+                F.coalesce("last_touch", F.lit("none")).alias("touch_type"),
+            ),
+            F.struct(
+                F.lit("first_touch").alias("mode"),
+                F.coalesce("first_touch", F.lit("none")).alias("touch_type"),
+            ),
         )
-
-    return attribute("last_touch", "last_touch").unionByName(
-        attribute("first_touch", "first_touch")
+    )
+    return (
+        flagged.select("value", modes.alias("m"))
+        .groupBy(F.col("m.mode").alias("mode"), F.col("m.touch_type").alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("attributed_value"),
+        )
     )
 
 
@@ -140,10 +149,135 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Robust outlier stats: median absolute deviation
+# ---------------------------------------------------------------------------
+
+
+def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier report via median absolute deviation:
+    median and MAD per event_type, plus how many events exceed the
+    standard 3·1.4826·MAD robust z-threshold (1.4826 makes MAD a
+    consistent σ estimator under normality).
+
+    Scale shape: two group aggregations over the tiny event_type domain
+    with the raw stream scanned twice and each per-group scalar
+    broadcast back — the robust twin of ``events_anomaly_zscore``;
+    no global sort (exact interpolated percentile aggregates
+    per-group buffers, not an order-by)."""
+    cat = Catalog(spark, sf_dir)
+    ev = cat["events"]
+    med = ev.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.first("med").alias("med"),
+        F.percentile(F.col("adev"), F.lit(0.5)).alias("mad"),
+    )
+    # the outlier count needs the finished MAD, so it is a third cheap
+    # pass over the scan joined to the (5-row) stats frame
+    stats = mad.select("event_type", F.round("med", 4).alias("median"), F.round("mad", 4).alias("mad"))
+    full = ev.join(F.broadcast(mad.select("event_type", "med", "mad")), "event_type")
+    counts = full.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.abs(F.col("value") - F.col("med")) > F.lit(3 * 1.4826) * F.col("mad")).cast("long")
+        ).alias("n_outliers"),
+    )
+    return counts.join(F.broadcast(stats), "event_type").select(
+        "event_type", "n", "median", "mad", "n_outliers"
+    )
+
+
+_SQL_MAD_OUTLIERS = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type),
+mad AS (
+  SELECT e.event_type, any_value(med) AS med,
+         quantile_cont(abs(value - med), 0.5) AS mad
+  FROM events e JOIN med USING (event_type)
+  GROUP BY e.event_type)
+SELECT e.event_type,
+       count(*) AS n,
+       round(any_value(med), 4) AS median,
+       round(any_value(mad), 4) AS mad,
+       sum(CASE WHEN abs(value - med) > 3 * 1.4826 * mad THEN 1 ELSE 0 END) AS n_outliers
+FROM events e JOIN mad USING (event_type)
+GROUP BY e.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+_BENFORD = {d: round(_math.log10(1 + 1 / d), 6) for d in range(1, 10)}
+
+
+def q_dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the standard
+    forensic data-quality scan for fabricated or truncated numeric
+    columns.  The leading digit is taken from the integer-cents string
+    (canonical integer→string in every engine; float→string is not
+    portable), expected frequencies are precomputed literals so both
+    engines compare against identical constants."""
+    cat = Catalog(spark, sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    counted = (
+        cat["orders"]
+        .where(F.col("o_totalprice") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy()
+    expected = F.create_map(
+        *[x for d, p in _BENFORD.items() for x in (F.lit(d), F.lit(p))]
+    )
+    return counted.select(
+        "digit",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w), 6).alias("observed_freq"),
+        expected[F.col("digit")].alias("benford_freq"),
+        F.round(
+            F.abs(F.col("n") / F.sum("n").over(w) - expected[F.col("digit")]), 6
+        ).alias("abs_deviation"),
+    )
+
+
+# CAST: DuckDB types bare decimal literals as DECIMAL (stringifies
+# '0.301030'); Spark's map literal is double ('0.30103')
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN CAST({p} AS DOUBLE)" for d, p in _BENFORD.items()
+)
+
+_SQL_BENFORD = f"""
+WITH counted AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+         count(*) AS n
+  FROM orders WHERE o_totalprice > 0
+  GROUP BY 1)
+SELECT digit, n,
+       round(n * 1.0 / sum(n) OVER (), 6) AS observed_freq,
+       CASE digit {_BENFORD_CASE} END AS benford_freq,
+       round(abs(n * 1.0 / sum(n) OVER () - CASE digit {_BENFORD_CASE} END), 6) AS abs_deviation
+FROM counted
+"""
+
+
 def ext11_queries() -> dict:
     return {
         "events_attribution": q_events_attribution,
         "events_cohort_matrix": q_events_cohort_matrix,
+        "events_mad_outliers": q_events_mad_outliers,
+        "dq_benford_digits": q_dq_benford_digits,
     }
 
 
@@ -151,4 +285,6 @@ def ext11_oracles() -> dict:
     return {
         "events_attribution": _SQL_ATTRIBUTION,
         "events_cohort_matrix": _SQL_COHORT_MATRIX,
+        "events_mad_outliers": _SQL_MAD_OUTLIERS,
+        "dq_benford_digits": _SQL_BENFORD,
     }

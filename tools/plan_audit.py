@@ -91,6 +91,24 @@ COMMENTARY = {
         "sort — two Window operators back-to-back, no extra exchange between "
         "them."
     ),
+    "dedup_substring_coverage": (
+        "Positional 8-gram substring-dedup signal. Wanted: the corpus exploded "
+        "and hashed ONCE (xxhash64 8-byte keys), exactly two exchanges — the "
+        "window count on the shingle key and the per-doc re-group; candidate "
+        "volume O(total tokens), never O(docs²)."
+    ),
+    "er_fuzzy_join": (
+        "Blocked fuzzy entity-resolution join. Wanted: a BroadcastHashJoin on "
+        "the block key with the levenshtein bound as the join residual, then "
+        "WindowGroupLimit partial top-1 BEFORE the shuffle — the best-match "
+        "window moves at most one candidate per dirty key."
+    ),
+    "events_attribution": (
+        "First/last-touch attribution. Wanted: ONE per-user window sort "
+        "carrying both ignoreNulls frames, both modes exploded from the same "
+        "pass (a union of per-mode groupBys would duplicate the window "
+        "subtree), one final tiny-domain aggregate exchange."
+    ),
     "tfidf_bm25": (
         "BM25 top-20. Wanted: tf and dl reduced map-side within one "
         "tokenization shuffle, df broadcast (tiny), global stats as a "
