@@ -31,6 +31,7 @@ from rdbms_subsetter_spark.queries_ext8 import ext8_oracles, ext8_queries  # noq
 from rdbms_subsetter_spark.queries_ext9 import ext9_oracles, ext9_queries  # noqa: E402
 from rdbms_subsetter_spark.queries_ext10 import ext10_oracles, ext10_queries  # noqa: E402
 from rdbms_subsetter_spark.queries_ext11 import ext11_oracles, ext11_queries  # noqa: E402
+from rdbms_subsetter_spark.queries_ext12 import ext12_oracles, ext12_queries  # noqa: E402
 from rdbms_subsetter_spark.queries_tpch import tpch_oracles, tpch_queries  # noqa: E402
 
 
@@ -71,6 +72,7 @@ _NEW_THIS_ROUND = [
     "sql_group_by_all", "agg_unpivot", "dq_constraint_report", "er_fuzzy_join",
     "file_layout_report", "events_winsorize", "events_attribution",
     "events_cohort_matrix", "events_mad_outliers", "dq_benford_digits",
+    "quality_lm_score", "mixture_dsir_weights",
 ]
 
 # Changed since their last driver verdict — must be (re)graded first.
@@ -121,6 +123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(ext9_queries())
     out.update(ext10_queries())
     out.update(ext11_queries())
+    out.update(ext12_queries())
     out.update(tpch_queries())
     ordered = _grading_order(list(out))
     return {n: out[n] for n in ordered}
@@ -141,6 +144,7 @@ def oracle_sql() -> dict[str, str]:
         **ext9_oracles(),
         **ext10_oracles(),
         **ext11_oracles(),
+        **ext12_oracles(),
         **tpch_oracles(),
     }.items():
         if sql is not None:

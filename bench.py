@@ -105,6 +105,9 @@ HEADLINE = [
     "dq_constraint_report",
     "events_attribution",
     "events_cohort_matrix",
+    "quality_lm_score",
+    "mixture_dsir_weights",
+    "events_mad_outliers",
 ]
 
 

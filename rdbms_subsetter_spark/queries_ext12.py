@@ -1,0 +1,186 @@
+"""Graded queries, part 12 (round 2): model-based data selection — a
+self-corpus bigram language-model quality score (the perplexity-proxy
+filter) and DSIR-style hashed-n-gram importance weights.
+
+Same contract as queries_core: identical aliases both sides, floats
+rounded both sides, no array/map outputs (driver canonicalizer).
+
+These are the two standard "model-based" curation signals a pretraining
+pipeline adds on top of rule filters: LM likelihood (CCNet/KenLM-style
+filtering) and distribution-matching importance weights (DSIR,
+Xie et al. 2023) — both reduced to pure DataFrame algebra: counts,
+windows, joins, logs.  No trained artifacts, so the whole signal is
+reproducible from the corpus alone and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from rdbms_subsetter_spark.catalog import Catalog
+from rdbms_subsetter_spark.operators import text
+from rdbms_subsetter_spark.queries_ext import _RAW_TOKS
+
+# ---------------------------------------------------------------------------
+# Bigram LM quality score
+# ---------------------------------------------------------------------------
+
+
+def q_quality_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average bigram log-likelihood under the corpus's own
+    bigram MLE model: score(d) = mean over bigrams (w1,w2) of
+    ln( C(w1,w2) / C(w1·) ), where C(w1·) counts w1 in first-of-bigram
+    position.  Low scores mark repetitive-structure or out-of-domain
+    documents — the KenLM/CCNet perplexity-filter shape without an
+    external model artifact.
+
+    Scale shape: the corpus is exploded into bigram positions ONCE; the
+    bigram count and the conditional denominator are both window counts
+    over that single exploded frame (two key shuffles), then one re-group
+    by doc.  O(total tokens) rows throughout — never a vocabulary
+    cross-product, and no driver-side model materialization."""
+    cat = Catalog(spark, sf_dir)
+    toks = text.tokens(F.col("text"))
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pos = cat["documents"].select("doc_id", F.explode(bigrams).alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    c_bigram = F.count(F.lit(1)).over(Window.partitionBy("w1", "w2"))
+    c_first = F.count(F.lit(1)).over(Window.partitionBy("w1"))
+    scored = pos.select(
+        "doc_id",
+        F.log(c_bigram.cast("double") / c_first.cast("double")).alias("lp"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("lp"), 4).alias("avg_logprob"),
+    )
+
+
+_SQL_LM_SCORE = f"""
+WITH toks AS (SELECT doc_id, {_RAW_TOKS} AS t FROM documents),
+pos AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                               i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS b
+  FROM toks),
+flat AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM pos),
+scored AS (
+  SELECT doc_id,
+         ln(CAST(count(*) OVER (PARTITION BY w1, w2) AS DOUBLE)
+            / CAST(count(*) OVER (PARTITION BY w1) AS DOUBLE)) AS lp
+  FROM flat)
+SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 4) AS avg_logprob
+FROM scored
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 64
+_DSIR_SEED = 11
+
+
+def _bucket(col: F.Column) -> F.Column:
+    """Portable md5-derived feature bucket (cross-engine identical)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{_DSIR_SEED}|"), col)), 1, 15), 16, 10
+    ).cast("long")
+    return F.pmod(h, F.lit(_DSIR_BUCKETS))
+
+
+_BUCKET_SQL = (
+    f"CAST(('0x' || substr(md5('{_DSIR_SEED}|' || tok), 1, 15)) AS BIGINT) "
+    f"% {_DSIR_BUCKETS}"
+)
+
+
+def q_mixture_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights: hashed-unigram features (64
+    buckets), target distribution = English documents, source = whole
+    corpus; each document's raw log-weight is the mean over its tokens
+    of ln( p_target(bucket) / p_source(bucket) ) with add-one smoothing.
+    High weight ⇒ the document looks like the target domain — sampling
+    by these weights is importance resampling toward the target.
+
+    Scale shape: the 64-row smoothed distribution table aggregates once
+    over the exploded token stream and BROADCASTS back onto it; the
+    stream itself is shuffled only for the final per-doc re-group.  The
+    'model' is 64 rows regardless of corpus size — this is exactly why
+    hashed features scale where raw-vocabulary features don't."""
+    cat = Catalog(spark, sf_dir)
+    docs = cat["documents"]
+    toks = (
+        docs.select("doc_id", "lang", F.explode(text.tokens(F.col("text"))).alias("tok"))
+        .select("doc_id", "lang", _bucket(F.col("tok")).alias("b"))
+    )
+    dist = toks.groupBy("b").agg(
+        F.count(F.lit(1)).alias("n_src"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("n_tgt"),
+    )
+    # totals via a window over the 64-row dist frame (a 1-row-aggregate
+    # cross join would plan a BroadcastNestedLoopJoin for nothing)
+    w_all = Window.partitionBy()
+    probs = dist.select(
+        "b",
+        (
+            (F.col("n_tgt") + 1) / (F.sum("n_tgt").over(w_all) + _DSIR_BUCKETS)
+        ).alias("p_tgt"),
+        (
+            (F.col("n_src") + 1) / (F.sum("n_src").over(w_all) + _DSIR_BUCKETS)
+        ).alias("p_src"),
+    )
+    weighted = toks.join(F.broadcast(probs), "b").select(
+        "doc_id", F.log(F.col("p_tgt") / F.col("p_src")).alias("lr")
+    )
+    return weighted.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.round(F.avg("lr"), 4).alias("dsir_logweight"),
+    )
+
+
+_SQL_DSIR = f"""
+WITH toks AS (
+  SELECT doc_id, lang, {_BUCKET_SQL} AS b
+  FROM (SELECT doc_id, lang, unnest({_RAW_TOKS}) AS tok FROM documents)),
+dist AS (
+  SELECT b, count(*) AS n_src,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_tgt
+  FROM toks GROUP BY b),
+probs AS (
+  SELECT b,
+         (n_tgt + 1) * 1.0 / (sum(n_tgt) OVER () + {_DSIR_BUCKETS}) AS p_tgt,
+         (n_src + 1) * 1.0 / (sum(n_src) OVER () + {_DSIR_BUCKETS}) AS p_src
+  FROM dist)
+SELECT doc_id, count(*) AS n_tok,
+       round(avg(ln(p_tgt / p_src)), 4) AS dsir_logweight
+FROM toks JOIN probs USING (b)
+GROUP BY doc_id
+"""
+
+
+def ext12_queries() -> dict:
+    return {
+        "quality_lm_score": q_quality_lm_score,
+        "mixture_dsir_weights": q_mixture_dsir_weights,
+    }
+
+
+def ext12_oracles() -> dict:
+    return {
+        "quality_lm_score": _SQL_LM_SCORE,
+        "mixture_dsir_weights": _SQL_DSIR,
+    }
