@@ -20,7 +20,7 @@ they are the core of making the same semantics hold at cluster scale:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 
 # ---------------------------------------------------------------------------
@@ -222,4 +222,42 @@ def shard_assignment(
         .withColumn("shard", F.pmod(F.col("sort_key"), F.lit(n_shards)).cast("int"))
         .withColumn("position", F.row_number().over(w))
         .drop("sort_key")
+    )
+
+
+def portable_pct(col: Column, seed: int) -> Column:
+    """Deterministic [0,100) bucket from a portable md5 hash — identical
+    in any engine with md5, so dataset splits and sampling decisions are
+    reproducible across engines, clusters, and reruns (no RNG state)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}|"), col.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(100))
+
+
+def split_assignment(
+    df: DataFrame,
+    key_col: str,
+    seed: int = 7,
+    train_pct: int = 90,
+    valid_pct: int = 5,
+) -> DataFrame:
+    """Add a 'split' column (train/valid/test) from a deterministic hash
+    of *key_col*.  Hash the row id for an iid split, or a GROUP key
+    (source domain, author) for the leakage-safe variant — every row of
+    one group lands in the same split, the standard guard against
+    train/test contamination via near-duplicates within a domain.
+
+    Scale shape: a pure projection — zero shuffles; the split column is
+    written alongside the data (directory partitioning by split gives
+    free pruning to downstream loaders).
+    """
+    pct = portable_pct(F.col(key_col), seed)
+    return df.withColumn(
+        "split",
+        F.when(pct < train_pct, F.lit("train"))
+        .when(pct < train_pct + valid_pct, F.lit("valid"))
+        .otherwise(F.lit("test")),
     )

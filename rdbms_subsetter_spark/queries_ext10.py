@@ -19,6 +19,7 @@ import datetime as _dt
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from rdbms_subsetter_spark import partitioning
 from rdbms_subsetter_spark.catalog import Catalog
 from rdbms_subsetter_spark.operators import text
 from rdbms_subsetter_spark.queries_ext import _EN_STOP, _RAW_TOKS
@@ -92,16 +93,8 @@ FROM d
 _SPLIT_SEED = 7
 
 
-def _portable_pct(col: F.Column, seed: int) -> F.Column:
-    """Deterministic [0,100) bucket from a portable md5 hash — identical
-    in any engine with md5 (cross-engine reproducible splits, the same
-    property a resumable 100 TB data loader needs)."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{seed}|"), col.cast("string"))), 1, 15),
-        16,
-        10,
-    ).cast("long")
-    return F.pmod(h, F.lit(100))
+# shared with the curate pipeline CLI (partitioning.split_assignment)
+_portable_pct = partitioning.portable_pct
 
 
 def _pct_sql(expr: str, seed: int) -> str:
@@ -375,7 +368,11 @@ def q_dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.xxhash64(F.array_join(F.slice(toks, i, _SUB_N), " ")),
         ),
     ).otherwise(F.array().cast("array<long>"))
-    pos = cat["documents"].select("doc_id", F.explode(windows).alias("w"))
+    # explode_outer keeps short docs (empty window array -> one null
+    # row), so the zero rows ride the same single scan instead of a
+    # second documents pass; null keys collapse into one harmless
+    # window partition whose freq is never used
+    pos = cat["documents"].select("doc_id", F.explode_outer(windows).alias("w"))
     # one shuffle on w (window count) instead of groupBy(w) + re-explode
     # + shuffle join: the corpus is exploded and hashed exactly once
     freq = F.count(F.lit(1)).over(Window.partitionBy("w"))
@@ -383,22 +380,13 @@ def q_dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         pos.withColumn("freq", freq)
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_windows"),
-            F.sum((F.col("freq") > 1).cast("long")).alias("n_dup_windows"),
+            F.count("w").alias("n_windows"),
+            F.sum((F.col("w").isNotNull() & (F.col("freq") > 1)).cast("long")).alias(
+                "n_dup_windows"
+            ),
         )
     )
-    # docs shorter than 8 tokens have zero windows and drop out of the
-    # explode; re-attach them with explicit zeros so the report is total
-    short = (
-        cat["documents"]
-        .where(F.size(text.tokens(F.col("text"))) < _SUB_N)
-        .select(
-            "doc_id",
-            F.lit(0).cast("long").alias("n_windows"),
-            F.lit(0).cast("long").alias("n_dup_windows"),
-        )
-    )
-    return per_doc.unionByName(short).select(
+    return per_doc.select(
         "doc_id",
         "n_windows",
         "n_dup_windows",
