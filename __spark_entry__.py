@@ -72,7 +72,8 @@ _NEW_THIS_ROUND = [
     "sql_group_by_all", "agg_unpivot", "dq_constraint_report", "er_fuzzy_join",
     "file_layout_report", "events_winsorize", "events_attribution",
     "events_cohort_matrix", "events_mad_outliers", "dq_benford_digits",
-    "quality_lm_score", "mixture_dsir_weights",
+    "quality_lm_score", "mixture_dsir_weights", "orders_seasonality",
+    "lineitem_pareto_share", "events_changepoint_cusum",
 ]
 
 # Changed since their last driver verdict — must be (re)graded first.

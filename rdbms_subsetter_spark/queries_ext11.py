@@ -272,12 +272,202 @@ FROM counted
 """
 
 
+# ---------------------------------------------------------------------------
+# Seasonality index
+# ---------------------------------------------------------------------------
+
+
+def q_orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index of order revenue: per-dow average
+    order value relative to the overall average (index 1.0 = neutral).
+    Integer-cents sums keep the cross-engine arithmetic exact; the
+    final ratios divide identical integers.  One scan, 7-row domain,
+    window-over-aggregate for the global denominator."""
+    cat = Catalog(spark, sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    agg = (
+        cat["orders"]
+        .select(F.dayofweek("o_orderdate").alias("dow"), cents.alias("cents"))
+        .groupBy("dow")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("cents").alias("sum_cents"))
+    )
+    w_all = Window.partitionBy()
+    overall_avg = F.sum("sum_cents").over(w_all) / F.sum("n_orders").over(w_all)
+    return agg.select(
+        "dow",
+        "n_orders",
+        F.round(F.col("sum_cents") / F.col("n_orders") / 100.0, 4).alias("avg_value"),
+        F.round((F.col("sum_cents") / F.col("n_orders")) / overall_avg, 6).alias(
+            "seasonality_index"
+        ),
+    )
+
+
+# DuckDB dayofweek: 0=Sunday; Spark dayofweek: 1=Sunday — shift to match
+_SQL_ORDERS_SEASONALITY = """
+WITH agg AS (
+  SELECT dayofweek(o_orderdate) + 1 AS dow,
+         count(*) AS n_orders,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents
+  FROM orders GROUP BY 1)
+SELECT dow, n_orders,
+       round(sum_cents * 1.0 / n_orders / 100.0, 4) AS avg_value,
+       round((sum_cents * 1.0 / n_orders)
+             / (sum(sum_cents) OVER () * 1.0 / sum(n_orders) OVER ()), 6) AS seasonality_index
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pareto concentration curve
+# ---------------------------------------------------------------------------
+
+
+def q_lineitem_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC concentration analysis: parts ranked by revenue, the
+    cumulative revenue share at the top-1/5/10/25/50% rank cuts — the
+    '80/20' report.  The expensive part is ONE aggregate over partkey;
+    the ranking window runs over the already-reduced per-part frame,
+    and the output is 5 rows.  Integer-cents revenue keeps cumulative
+    sums exact across engines."""
+    cat = Catalog(spark, sf_dir)
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+    per_part = (
+        cat["lineitem"]
+        .select("l_partkey", cents.alias("cents"))
+        .groupBy("l_partkey")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    w_rank = Window.orderBy(F.desc("rev"), "l_partkey")
+    w_all = Window.partitionBy()
+    ranked = per_part.select(
+        "rev",
+        F.row_number().over(w_rank).alias("rnk"),
+        F.sum("rev").over(w_rank.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum_rev"
+        ),
+        F.sum("rev").over(w_all).alias("tot_rev"),
+        F.count(F.lit(1)).over(w_all).alias("n_parts"),
+    )
+    # the rank cut for p% is ceil(n*p/100): each row tests itself
+    # against all five cut ranks in one projection + explode — a
+    # cuts-table join would be a non-equi BNLJ, and five re-filters
+    # would recompute the whole window subtree five times
+    cuts = F.filter(
+        F.array(*[F.lit(p) for p in (1, 5, 10, 25, 50)]),
+        lambda p: F.ceil(F.col("n_parts") * p / 100).cast("int") == F.col("rnk"),
+    )
+    return ranked.select(
+        F.explode(cuts).alias("top_pct"),
+        F.col("rnk").alias("n_top_parts"),
+        F.round(F.col("cum_rev") / F.col("tot_rev"), 6).alias("revenue_share"),
+    )
+
+
+_SQL_PARETO = """
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS rev
+  FROM lineitem GROUP BY l_partkey),
+ranked AS (
+  SELECT rev,
+         row_number() OVER (ORDER BY rev DESC, l_partkey) AS rnk,
+         sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev,
+         sum(rev) OVER () AS tot_rev,
+         count(*) OVER () AS n_parts
+  FROM per_part)
+SELECT p.top_pct,
+       CAST(rnk AS INT) AS n_top_parts,
+       round(cum_rev * 1.0 / tot_rev, 6) AS revenue_share
+FROM ranked
+JOIN (VALUES (1), (5), (10), (25), (50)) AS p(top_pct)
+  ON rnk = CAST(ceil(n_parts * p.top_pct / 100.0) AS INT)
+"""
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection
+# ---------------------------------------------------------------------------
+
+
+def q_events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan per event_type: the running sum of
+    (value − type mean) peaks in magnitude at the most likely mean-shift
+    point.  Reports that peak's timestamp, event id, and CUSUM value.
+
+    Scale shape: the type means aggregate once (5-row frame) and
+    broadcast back; the running sum is one window sort per event_type.
+    The per-type window serializes a hot type into one sort range at
+    100 TB — the standard answer is time-bucketed pre-aggregation
+    before the CUSUM (same report at day granularity), which this query
+    demonstrates by reducing to per-day sums first."""
+    cat = Catalog(spark, sf_dir)
+    ev = cat["events"]
+    daily = (
+        ev.select("event_type", F.col("ts").cast("date").alias("day"), "value")
+        .groupBy("event_type", "day")
+        .agg(F.sum("value").alias("day_sum"), F.count(F.lit(1)).alias("day_n"))
+    )
+    means = daily.groupBy("event_type").agg(
+        (F.sum("day_sum") / F.sum("day_n")).alias("mu")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cusum = (
+        daily.join(F.broadcast(means), "event_type")
+        .select(
+            "event_type",
+            "day",
+            F.sum(F.col("day_sum") - F.col("mu") * F.col("day_n")).over(w).alias("cusum"),
+        )
+    )
+    w_best = Window.partitionBy("event_type").orderBy(
+        F.desc(F.abs(F.col("cusum"))), "day"
+    )
+    return (
+        cusum.withColumn("rn", F.row_number().over(w_best))
+        .where(F.col("rn") == 1)
+        .select("event_type", "day", F.round("cusum", 4).alias("peak_cusum"))
+    )
+
+
+_SQL_CUSUM = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         sum(value) AS day_sum, count(*) AS day_n
+  FROM events GROUP BY 1, 2),
+means AS (
+  SELECT event_type, sum(day_sum) / sum(day_n) AS mu
+  FROM daily GROUP BY event_type),
+cusum AS (
+  SELECT d.event_type, day,
+         sum(day_sum - mu * day_n)
+           OVER (PARTITION BY d.event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+  FROM daily d JOIN means USING (event_type))
+SELECT event_type, day, round(cusum, 4) AS peak_cusum
+FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY abs(cusum) DESC, day) AS rn
+      FROM cusum)
+WHERE rn = 1
+"""
+
+
 def ext11_queries() -> dict:
     return {
         "events_attribution": q_events_attribution,
         "events_cohort_matrix": q_events_cohort_matrix,
         "events_mad_outliers": q_events_mad_outliers,
         "dq_benford_digits": q_dq_benford_digits,
+        "orders_seasonality": q_orders_seasonality,
+        "lineitem_pareto_share": q_lineitem_pareto_share,
+        "events_changepoint_cusum": q_events_changepoint_cusum,
     }
 
 
@@ -287,4 +477,7 @@ def ext11_oracles() -> dict:
         "events_cohort_matrix": _SQL_COHORT_MATRIX,
         "events_mad_outliers": _SQL_MAD_OUTLIERS,
         "dq_benford_digits": _SQL_BENFORD,
+        "orders_seasonality": _SQL_ORDERS_SEASONALITY,
+        "lineitem_pareto_share": _SQL_PARETO,
+        "events_changepoint_cusum": _SQL_CUSUM,
     }
