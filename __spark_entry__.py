@@ -73,7 +73,7 @@ _NEW_THIS_ROUND = [
     "file_layout_report", "events_winsorize", "events_attribution",
     "events_cohort_matrix", "events_mad_outliers", "dq_benford_digits",
     "quality_lm_score", "mixture_dsir_weights", "orders_seasonality",
-    "lineitem_pareto_share", "events_changepoint_cusum",
+    "lineitem_pareto_share", "events_changepoint_cusum", "embed_pca_project",
 ]
 
 # Changed since their last driver verdict — must be (re)graded first.

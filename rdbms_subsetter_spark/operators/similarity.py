@@ -570,3 +570,90 @@ def semdedup(
             (F.col("n_vectors") - F.coalesce("n_dropped", F.lit(0))).alias("n_kept"),
         )
     )
+
+
+def pca_fit_project(
+    emb: DataFrame,
+    n_components: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PCA: fit on distributed partial statistics, project JVM-side.
+
+    Fit: each partition reduces to ONE (n, sum_x, sum_xxT) triple via an
+    Arrow-batched ``mapInPandas`` (a d×d numpy matrix per partition, d=
+    the embedding dim), the driver sums the ~num_partitions triples and
+    eigendecomposes the d×d covariance — the classic two-phase
+    distributed PCA: shuffle volume is partitions × d², independent of
+    row count, so it holds at 100 TB exactly like the IVF centroid fit.
+    Eigenvector signs are fixed (largest-|component| positive) so the
+    basis is deterministic.
+
+    Project: the fitted basis is inlined as LITERAL arrays into a pure
+    column expression (aggregate over zip_with) — the projection pass is
+    whole-stage codegen, no Python on the big scan.
+
+    Rows-only gate (like graph_pagerank): no SQL engine exposes an
+    eigensolver, so correctness is anchored by the numpy parity unit
+    test in tests/test_operators.py instead of the DuckDB oracle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def partial_stats(batches):
+        n = 0
+        s = None
+        ss = None
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n += mat.shape[0]
+            s = mat.sum(axis=0) if s is None else s + mat.sum(axis=0)
+            ss = mat.T @ mat if ss is None else ss + mat.T @ mat
+        if n == 0:
+            return
+        yield pd.DataFrame(
+            {"n": [n], "s": [s.tolist()], "ss": [ss.reshape(-1).tolist()]}
+        )
+
+    first = emb.select(vec_col).first()
+    if first is None:
+        raise ValueError("pca_fit_project: empty input")
+    dim = len(first[0])
+    stats = emb.select(vec_col).mapInPandas(
+        partial_stats, schema=f"n long, s array<double>, ss array<double>"
+    ).collect()
+    n = sum(r["n"] for r in stats)
+    s = sum(np.array(r["s"]) for r in stats)
+    ss = sum(np.array(r["ss"]).reshape(dim, dim) for r in stats)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:n_components]
+    basis, evr = [], []
+    total_var = float(vals.sum())
+    for idx in order:
+        v = vecs[:, idx]
+        if v[np.abs(v).argmax()] < 0:  # deterministic sign
+            v = -v
+        basis.append(v)
+        evr.append(float(vals[idx]) / total_var if total_var > 0 else 0.0)
+
+    centered = F.zip_with(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")),
+        F.array(*[F.lit(float(m)) for m in mean]),
+        lambda x, m: x - m,
+    )
+    out = emb.select("*", centered.alias("__c"))
+    cols = []
+    for i, v in enumerate(basis):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col("__c"),
+                F.array(*[F.lit(float(x)) for x in v]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cols.append(F.round(proj, 4).alias(f"pc{i + 1}"))
+        cols.append(F.lit(round(evr[i], 6)).alias(f"evr{i + 1}"))
+    return out.select("vec_id", "label", *cols)

@@ -172,10 +172,28 @@ GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# PCA projection of the embedding table
+# ---------------------------------------------------------------------------
+
+
+def q_embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 PCA projection of the embeddings (distributed partial
+    covariance fit + literal-basis codegen projection — see
+    operators.similarity.pca_fit_project).  Rows-only gate: no SQL
+    engine exposes an eigensolver; numpy parity is unit-tested in
+    tests/test_operators.py."""
+    from rdbms_subsetter_spark.operators import similarity
+
+    cat = Catalog(spark, sf_dir)
+    return similarity.pca_fit_project(cat["embeddings"], n_components=2)
+
+
 def ext12_queries() -> dict:
     return {
         "quality_lm_score": q_quality_lm_score,
         "mixture_dsir_weights": q_mixture_dsir_weights,
+        "embed_pca_project": q_embed_pca_project,
     }
 
 
@@ -183,4 +201,5 @@ def ext12_oracles() -> dict:
     return {
         "quality_lm_score": _SQL_LM_SCORE,
         "mixture_dsir_weights": _SQL_DSIR,
+        "embed_pca_project": None,  # rows-only: eigensolver has no SQL twin
     }

@@ -284,3 +284,36 @@ def test_multimodal_decoder_gate(spark):
         assert real[1]["width"] == 13 and real[1]["height"] == 7
         fake_rows = multimodal.decode_media(media, decoder="real").collect()
         assert all(r["width"] is None for r in fake_rows if r["media_type"] == "image")
+
+
+def test_pca_matches_numpy(spark):
+    """pca_fit_project ≡ direct numpy PCA on the collected matrix, up to
+    the documented sign convention — the correctness anchor for the
+    rows-only embed_pca_project gate."""
+    import numpy as np
+    from rdbms_subsetter_spark.catalog import Catalog
+    from rdbms_subsetter_spark.operators.similarity import pca_fit_project
+
+    cat = Catalog(spark, "/root/testdata/sf0.001")
+    emb = cat["embeddings"]
+    got = {
+        r["vec_id"]: (r["pc1"], r["pc2"], r["evr1"], r["evr2"])
+        for r in pca_fit_project(emb, n_components=2).collect()
+    }
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mean = mat.mean(axis=0)
+    cov = np.cov(mat, rowvar=False, bias=True)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:2]
+    total = vals.sum()
+    for k, idx in enumerate(order):
+        v = vecs[:, idx]
+        if v[np.abs(v).argmax()] < 0:
+            v = -v
+        want = (mat - mean) @ v
+        for i, vid in enumerate(ids):
+            assert abs(got[vid][k] - want[i]) < 1e-3, (vid, k)
+        assert abs(got[vid][2 + k] - vals[idx] / total) < 1e-6
