@@ -108,6 +108,9 @@ HEADLINE = [
     "quality_lm_score",
     "mixture_dsir_weights",
     "events_mad_outliers",
+    "lineitem_pareto_share",
+    "events_changepoint_cusum",
+    "embed_pca_project",
 ]
 
 

@@ -130,7 +130,10 @@ def curate(
         .parquet(out_dir)
     )
 
-    written = spark.read.parquet(out_dir)
+    # read the WRITTEN data back for the report (validates the sink);
+    # an empty write leaves no part files, so fall back to the frame's
+    # schema rather than crashing on schema inference
+    written = spark.read.schema(sharded.schema).parquet(out_dir)
     per_split = {
         r["split"]: r["n"]
         for r in written.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()

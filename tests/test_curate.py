@@ -102,3 +102,10 @@ def test_minhash_mode_removes_at_least_exact_dupes(spark, tmp_path):
 def test_report_is_json_serializable(curated):
     report, _ = curated
     assert json.loads(json.dumps(report)) == report
+
+
+def test_empty_survivor_set_yields_zero_report(spark, tmp_path):
+    report = curate(spark, SF_SMALL, str(tmp_path), min_quality=2.0)
+    assert report["n_final"] == 0
+    assert report["per_split"] == {}
+    assert report["n_dedup_removed"] == 0

@@ -317,3 +317,43 @@ def test_pca_matches_numpy(spark):
         for i, vid in enumerate(ids):
             assert abs(got[vid][k] - want[i]) < 1e-3, (vid, k)
         assert abs(got[vid][2 + k] - vals[idx] / total) < 1e-6
+
+
+def test_er_dictionary_reduction_equals_naive(spark):
+    """er_fuzzy_join's distinct-name reduction is exact: it must produce
+    the same best matches as the naive blocked row-level join."""
+    from pyspark.sql import Window, functions as F
+    from rdbms_subsetter_spark.catalog import Catalog
+    from rdbms_subsetter_spark.queries_ext10 import q_er_fuzzy_join
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["dirty_key"]: (r["cand_key"], r["lev"])
+        for r in q_er_fuzzy_join(spark, sf).collect()
+    }
+
+    parts = Catalog(spark, sf)["part"]
+    block = F.regexp_extract(F.col("p_name"), "[^ ]+$", 0)
+    dirty = parts.where(F.col("p_partkey") % 7 == 0).select(
+        F.col("p_partkey").alias("dirty_key"),
+        F.concat(F.substring("p_name", 1, 1), F.expr("substring(p_name, 3)")).alias(
+            "dirty_name"
+        ),
+        block.alias("block"),
+    )
+    clean = parts.select(
+        F.col("p_partkey").alias("cand_key"),
+        F.col("p_name").alias("cand_name"),
+        block.alias("block"),
+    )
+    lev = F.levenshtein("dirty_name", "cand_name")
+    w = Window.partitionBy("dirty_key").orderBy("lev", "cand_key")
+    naive = (
+        dirty.join(clean, "block")
+        .where(lev <= 2)
+        .select("dirty_key", "cand_key", lev.cast("long").alias("lev"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    want = {r["dirty_key"]: (r["cand_key"], r["lev"]) for r in naive.collect()}
+    assert got == want
