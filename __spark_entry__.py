@@ -74,6 +74,7 @@ _NEW_THIS_ROUND = [
     "events_cohort_matrix", "events_mad_outliers", "dq_benford_digits",
     "quality_lm_score", "mixture_dsir_weights", "orders_seasonality",
     "lineitem_pareto_share", "events_changepoint_cusum", "embed_pca_project",
+    "dedup_ngram_containment", "text_token_entropy",
 ]
 
 # Changed since their last driver verdict — must be (re)graded first.

@@ -71,9 +71,13 @@ def shingles(docs: DataFrame, n: int = 3, hashed: bool = False) -> DataFrame:
     """
     toks = normalize(F.col("text"))
     parts = ", ".join(f"element_at(t, i + {j})" for j in range(n))
+    # guard short docs explicitly: sequence(1, 0) DESCENDS in Spark
+    # (default step -1), which would index element_at(t, 0) and throw
     expr = (
-        f"transform(sequence(1, greatest(size(t) - {n - 1}, 0)),"
+        f"case when size(t) >= {n} then"
+        f" transform(sequence(1, size(t) - {n - 1}),"
         f" i -> concat_ws(' ', {parts}))"
+        f" else cast(array() as array<string>) end"
     )
     out = docs.select("doc_id", tokens(toks).alias("t")).select(
         "doc_id", F.explode(F.expr(expr)).alias("shingle")
@@ -407,4 +411,73 @@ def connected_components(
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(sizes, on="label").select(
         F.col("node"), F.col("label").alias("cluster_id"), "cluster_size"
+    )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.9,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Directed containment pairs: C(A⊂B) = |sh(A) ∩ sh(B)| / |sh(A)|.
+
+    The asymmetric twin of ``ngram_jaccard_pairs`` — Jaccard misses the
+    quote-inclusion case (a short doc fully embedded in a long one has
+    low Jaccard but containment ≈ 1), which is the common duplication
+    mode in news wires and boilerplate-wrapped pages.
+
+    Same inverted-index scale shape as the Jaccard join (one shingle
+    equi-join, candidates only where a shingle collides); both
+    directions of every unordered candidate pair are derived from the
+    SAME join row, so the asymmetry costs no extra shuffle.
+    """
+    sh = shingles(docs, n, hashed=True)
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), on="shingle", how="left_anti")
+    sh = sh.localCheckpoint(eager=True)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_id_1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_id_2"), "shingle")
+    shared = (
+        a.join(b, on="shingle")
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    both = (
+        shared.join(
+            sizes.withColumnsRenamed({"doc_id": "doc_id_1", "n_sh": "n1"}), on="doc_id_1"
+        )
+        .join(
+            sizes.withColumnsRenamed({"doc_id": "doc_id_2", "n_sh": "n2"}), on="doc_id_2"
+        )
+    )
+    directed = both.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_id_1").alias("contained_id"),
+                    F.col("doc_id_2").alias("container_id"),
+                    (F.col("shared") / F.col("n1")).alias("containment"),
+                ),
+                F.struct(
+                    F.col("doc_id_2").alias("contained_id"),
+                    F.col("doc_id_1").alias("container_id"),
+                    (F.col("shared") / F.col("n2")).alias("containment"),
+                ),
+            )
+        ).alias("p")
+    )
+    return (
+        directed.select(
+            "p.contained_id", "p.container_id", F.round("p.containment", 6).alias("containment")
+        )
+        .filter(F.col("containment") >= threshold)
     )

@@ -142,9 +142,14 @@ def chunk_windows(
     Pure codegen: tokenize once, generate start offsets with
     ``sequence``, slice per offset, explode.  Work ∝ output tokens;
     no shuffle at all — chunking pipelines inside the scan stage.
+
+    The token array is STAGED through a projection before the lambda:
+    higher-order functions are not common-subexpression-eliminated, so
+    ``slice(tokens(text), ...)`` inside the transform would re-split
+    the whole text once per chunk — O(doc_len²/stride) per doc.
     """
-    t = F.col("text")
-    toks = tokens(t)
+    staged = docs.select("doc_id", tokens(F.col("text")).alias("__t"))
+    toks = F.col("__t")
     starts = F.sequence(
         F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
     )
@@ -156,7 +161,7 @@ def chunk_windows(
         ),
     )
     return (
-        docs.select("doc_id", F.explode(chunks).alias("c"))
+        staged.select("doc_id", F.explode(chunks).alias("c"))
         .select(
             "doc_id",
             F.col("c.chunk_idx").alias("chunk_idx"),

@@ -357,7 +357,13 @@ def q_dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-bit collisions), (2) group back by doc_id.  Candidate volume is
     positions, not pairs: O(total tokens), never O(docs²)."""
     cat = Catalog(spark, sf_dir)
-    toks = text.tokens(F.col("text"))
+    # stage the token array first: lambdas are not CSE'd, so
+    # slice(tokens(text), i, 8) would re-split the whole text per
+    # window — O(doc_len²) per doc (the quantize_int8 lesson)
+    staged = cat["documents"].select(
+        "doc_id", text.tokens(F.col("text")).alias("__t")
+    )
+    toks = F.col("__t")
     n = F.size(toks)
     # guard: F.sequence(1, 0) DESCENDS in Spark (step defaults to -1),
     # so short docs must take the empty-array branch explicitly
@@ -372,7 +378,7 @@ def q_dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row), so the zero rows ride the same single scan instead of a
     # second documents pass; null keys collapse into one harmless
     # window partition whose freq is never used
-    pos = cat["documents"].select("doc_id", F.explode_outer(windows).alias("w"))
+    pos = staged.select("doc_id", F.explode_outer(windows).alias("w"))
     # one shuffle on w (window count) instead of groupBy(w) + re-explode
     # + shuffle join: the corpus is exploded and hashed exactly once
     freq = F.count(F.lit(1)).over(Window.partitionBy("w"))

@@ -35,12 +35,23 @@ def q_quality_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     external model artifact.
 
     Scale shape: the corpus is exploded into bigram positions ONCE; the
-    bigram count and the conditional denominator are both window counts
-    over that single exploded frame (two key shuffles), then one re-group
-    by doc.  O(total tokens) rows throughout — never a vocabulary
-    cross-product, and no driver-side model materialization."""
+    model is the (w1,w2)-count table, reduced by a map-side-combined
+    hash aggregate (shuffle volume = |bigram vocab|, not positions) —
+    a window-over-positions formulation was measured 5× slower at sf0.1
+    because it sorts every position twice.  The conditional denominator
+    C(w1·) folds out of the bigram table itself (no second corpus
+    pass), and the tiny model joins back by broadcast; with a web-scale
+    vocabulary AQE falls back to a shuffle join on the same plan.  No
+    driver-side model materialization either way."""
     cat = Catalog(spark, sf_dir)
-    toks = text.tokens(F.col("text"))
+    # stage the token array through a projection: lambdas are not
+    # common-subexpression-eliminated, so element_at(tokens(text), i)
+    # would re-run the split per element access (the quantize_int8
+    # lesson — O(doc_len²) per doc)
+    staged = cat["documents"].select(
+        "doc_id", text.tokens(F.col("text")).alias("__t")
+    )
+    toks = F.col("__t")
     n = F.size(toks)
     bigrams = F.when(
         n >= 2,
@@ -52,15 +63,24 @@ def q_quality_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    pos = cat["documents"].select("doc_id", F.explode(bigrams).alias("b")).select(
-        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    pos = (
+        staged.select("doc_id", F.explode(bigrams).alias("b"))
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        # two consumers (model fit + scoring join): materialize the
+        # explode once, same discipline as ngram_jaccard_pairs
+        .localCheckpoint(eager=True)
     )
-    c_bigram = F.count(F.lit(1)).over(Window.partitionBy("w1", "w2"))
-    c_first = F.count(F.lit(1)).over(Window.partitionBy("w1"))
-    scored = pos.select(
-        "doc_id",
-        F.log(c_bigram.cast("double") / c_first.cast("double")).alias("lp"),
+    bi = pos.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bi"))
+    # C(w1·) = times w1 is followed by anything = sum of its bigram rows
+    uni = bi.groupBy("w1").agg(F.sum("c_bi").alias("c_first"))
+    model = bi.join(uni, "w1").select(
+        "w1",
+        "w2",
+        F.log(F.col("c_bi").cast("double") / F.col("c_first").cast("double")).alias(
+            "lp"
+        ),
     )
+    scored = pos.join(F.broadcast(model), ["w1", "w2"])
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("lp"), 4).alias("avg_logprob"),
@@ -189,11 +209,96 @@ def q_embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pca_fit_project(cat["embeddings"], n_components=2)
 
 
+# ---------------------------------------------------------------------------
+# Directed n-gram containment (quote-inclusion dedup)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment pairs C(A⊂B) = |sh(A)∩sh(B)|/|sh(A)| ≥ 0.9 —
+    the asymmetric near-dup that Jaccard misses (short doc fully quoted
+    inside a long one).  See operators.dedup.ngram_containment_pairs."""
+    from rdbms_subsetter_spark.operators import dedup
+
+    cat = Catalog(spark, sf_dir)
+    return dedup.ngram_containment_pairs(cat["documents"], n=3, threshold=0.9)
+
+
+def _containment_cte() -> str:
+    from rdbms_subsetter_spark.queries_ext import _shingle_cte
+
+    return f"""
+WITH {_shingle_cte(3)},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+both_sides AS (
+  SELECT doc_id_1, doc_id_2, shared, n1.n_sh AS n1, n2.n_sh AS n2
+  FROM shared
+  JOIN sizes n1 ON doc_id_1 = n1.doc_id
+  JOIN sizes n2 ON doc_id_2 = n2.doc_id),
+directed AS (
+  SELECT doc_id_1 AS contained_id, doc_id_2 AS container_id,
+         round(shared * 1.0 / n1, 6) AS containment FROM both_sides
+  UNION ALL
+  SELECT doc_id_2 AS contained_id, doc_id_1 AS container_id,
+         round(shared * 1.0 / n2, 6) AS containment FROM both_sides)
+SELECT contained_id, container_id, containment
+FROM directed WHERE containment >= 0.9
+"""
+
+
+# ---------------------------------------------------------------------------
+# Token-level Shannon entropy
+# ---------------------------------------------------------------------------
+
+
+def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token Shannon entropy H = log2(n) − (Σ c·log2 c)/n —
+    the repetition/diversity signal complementary to the trigram
+    repetition ratio (low entropy = boilerplate or degenerate loops,
+    high = diverse vocabulary).  One explode + two groupBys, both keyed
+    by doc (the (doc, token) pre-aggregation bounds the second shuffle
+    by unique-tokens-per-doc)."""
+    cat = Catalog(spark, sf_dir)
+    counts = (
+        cat["documents"]
+        .select("doc_id", F.explode(text.tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tok"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.round(
+            F.log2(F.sum("c")) - F.sum(F.col("c") * F.log2("c")) / F.sum("c"), 4
+        ).alias("token_entropy"),
+    )
+
+
+_SQL_TOKEN_ENTROPY = f"""
+WITH counts AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest({_RAW_TOKS}) AS tok FROM documents)
+  GROUP BY doc_id, tok)
+SELECT doc_id,
+       sum(c) AS n_tok,
+       count(*) AS n_unique,
+       round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS token_entropy
+FROM counts
+GROUP BY doc_id
+"""
+
+
 def ext12_queries() -> dict:
     return {
         "quality_lm_score": q_quality_lm_score,
         "mixture_dsir_weights": q_mixture_dsir_weights,
         "embed_pca_project": q_embed_pca_project,
+        "dedup_ngram_containment": q_dedup_ngram_containment,
+        "text_token_entropy": q_text_token_entropy,
     }
 
 
@@ -202,4 +307,6 @@ def ext12_oracles() -> dict:
         "quality_lm_score": _SQL_LM_SCORE,
         "mixture_dsir_weights": _SQL_DSIR,
         "embed_pca_project": None,  # rows-only: eigensolver has no SQL twin
+        "dedup_ngram_containment": _containment_cte(),
+        "text_token_entropy": _SQL_TOKEN_ENTROPY,
     }

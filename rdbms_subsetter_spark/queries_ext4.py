@@ -179,15 +179,20 @@ def q_text_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured 0.99->0.21 s there)."""
     cat = Catalog(spark, sf_dir)
     words = F.col("__w")
-    tri = F.transform(
-        F.sequence(F.lit(1), F.size(words) - 2),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(words, i),
-            F.element_at(words, i + 1),
-            F.element_at(words, i + 2),
+    # short-doc guard: sequence(1, 0) DESCENDS in Spark and would index
+    # element_at(words, 0), which throws
+    tri = F.when(
+        F.size(words) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(words, i),
+                F.element_at(words, i + 1),
+                F.element_at(words, i + 2),
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     return (
         cat["documents"]
         .select("doc_id", F.split(F.col("text"), " ").alias("__w"))
