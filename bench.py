@@ -111,6 +111,8 @@ HEADLINE = [
     "lineitem_pareto_share",
     "events_changepoint_cusum",
     "embed_pca_project",
+    "dedup_ngram_containment",
+    "text_token_entropy",
 ]
 
 

@@ -210,6 +210,39 @@ def q_embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming ingest-quality funnel
+# ---------------------------------------------------------------------------
+
+
+def q_streaming_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live crawler-ingest quality monitor: the curation funnel's rule
+    stages as one running streaming aggregate (complete-mode replay ≡
+    the batch counts, shared oracle).  See
+    streaming.events.streaming_curation_funnel."""
+    from rdbms_subsetter_spark.streaming import events as streaming_events
+
+    return streaming_events.streaming_curation_funnel(spark, sf_dir)
+
+
+_SQL_STREAMING_FUNNEL = f"""
+WITH flagged AS (
+  SELECT (lang = 'en') AS s1,
+         round((least(len({_RAW_TOKS}) / 100.0, 1.0)
+               + least(len(list_filter({_RAW_TOKS}, t -> list_contains(['the','a','of','and','to','in','is','that'], t))) * 1.0
+                       / len({_RAW_TOKS}) * 5.0, 1.0)
+               + greatest(0.0, 1.0 - ((length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')))
+                                       * 1.0 / length(text)) * 4.0)) / 3.0, 6) AS q,
+         len({_RAW_TOKS}) AS n_tok
+  FROM documents)
+SELECT count(*) AS n_total,
+       sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS n_lang,
+       sum(CASE WHEN s1 AND q >= 0.5 THEN 1 ELSE 0 END) AS n_quality,
+       sum(CASE WHEN s1 AND q >= 0.5 AND n_tok BETWEEN 20 AND 1000 THEN 1 ELSE 0 END) AS n_length
+FROM flagged
+"""
+
+
+# ---------------------------------------------------------------------------
 # Directed n-gram containment (quote-inclusion dedup)
 # ---------------------------------------------------------------------------
 
@@ -299,6 +332,7 @@ def ext12_queries() -> dict:
         "embed_pca_project": q_embed_pca_project,
         "dedup_ngram_containment": q_dedup_ngram_containment,
         "text_token_entropy": q_text_token_entropy,
+        "streaming_curation_funnel": q_streaming_curation_funnel,
     }
 
 
@@ -309,4 +343,5 @@ def ext12_oracles() -> dict:
         "embed_pca_project": None,  # rows-only: eigensolver has no SQL twin
         "dedup_ngram_containment": _containment_cte(),
         "text_token_entropy": _SQL_TOKEN_ENTROPY,
+        "streaming_curation_funnel": _SQL_STREAMING_FUNNEL,
     }

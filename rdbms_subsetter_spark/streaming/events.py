@@ -427,3 +427,61 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="complete",
     )
     return out.orderBy("window_start", "event_type")
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents parquet table as a bounded replay stream (same
+    symlink staging as events_stream) — the LLM-ingest scenario: a
+    corpus arriving file-by-file from a crawler."""
+    import hashlib
+    import os
+    import tempfile
+
+    from rdbms_subsetter_spark.session import pin_session_conf
+
+    pin_session_conf(spark)
+    path = f"{sf_dir}/documents.parquet"
+    if os.path.isdir(path):
+        stream_dir = path
+    else:
+        tag = hashlib.md5(path.encode()).hexdigest()[:12]
+        stream_dir = os.path.join(tempfile.gettempdir(), f"rss_docstream_{tag}")
+        os.makedirs(stream_dir, exist_ok=True)
+        link = os.path.join(stream_dir, "documents.parquet")
+        if not os.path.exists(link):
+            os.symlink(path, link)
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+
+
+def streaming_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest-quality monitor: the curation funnel's rule
+    stages (lang → quality → length) as ONE running aggregate over the
+    document stream — what a crawler-ingest dashboard shows live.
+
+    Complete mode: the running totals after a bounded replay equal the
+    batch funnel counts, so the query is DuckDB-oracle-checkable.  The
+    dedup stage is deliberately absent here: count(DISTINCT) is
+    unsupported in streaming aggregation, and its streaming analogue
+    (dropDuplicates state) is covered by streaming_dedup_keys.
+    """
+    from rdbms_subsetter_spark.operators import text as text_ops
+
+    docs = documents_stream(spark, sf_dir)
+    t = F.col("text")
+    s1 = F.col("lang") == "en"
+    s2 = s1 & (text_ops.quality_score(t) >= 0.5)
+    s3 = s2 & text_ops.token_count(t).between(20, 1000)
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(s1.cast("long")).alias("n_lang"),
+        F.sum(s2.cast("long")).alias("n_quality"),
+        F.sum(s3.cast("long")).alias("n_length"),
+    )
+    return run_stream_to_memory(
+        spark, agg, name="stream_curation_funnel", output_mode="complete"
+    )
