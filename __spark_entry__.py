@@ -75,7 +75,7 @@ _NEW_THIS_ROUND = [
     "quality_lm_score", "mixture_dsir_weights", "orders_seasonality",
     "lineitem_pareto_share", "events_changepoint_cusum", "embed_pca_project",
     "dedup_ngram_containment", "text_token_entropy",
-    "streaming_curation_funnel",
+    "streaming_curation_funnel", "dq_observed_metrics", "incr_agg_maintenance",
 ]
 
 # Changed since their last driver verdict — must be (re)graded first.

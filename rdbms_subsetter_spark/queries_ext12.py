@@ -15,6 +15,8 @@ reproducible from the corpus alone and oracle-checkable.
 
 from __future__ import annotations
 
+import datetime as _dt
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from rdbms_subsetter_spark.catalog import Catalog
@@ -210,6 +212,101 @@ def q_embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Observation API metrics
+# ---------------------------------------------------------------------------
+
+
+def q_dq_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-attached runtime metrics via the DataFrame ``observe`` API:
+    the same pass that materializes a filtered projection also records
+    its audit metrics (row count, null count, sum) with ZERO extra scans
+    — at 100 TB this is how per-job data-quality counters ship without a
+    second aggregation job.  The observed values are returned as a
+    one-row frame; the oracle recomputes them declaratively."""
+    from pyspark.sql import Observation
+
+    cat = Catalog(spark, sf_dir)
+    obs = Observation("dq")
+    observed = (
+        cat["orders"]
+        .where(F.col("o_orderstatus") == "O")
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n_open"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "open_cents"
+            ),
+            F.count_if(F.col("o_custkey").isNull()).alias("n_null_custkey"),
+        )
+    )
+    observed.write.format("noop").mode("overwrite").save()  # drive the pass
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_open"], m["open_cents"], m["n_null_custkey"])],
+        "n_open long, open_cents long, n_null_custkey long",
+    )
+
+
+_SQL_OBSERVED_METRICS = """
+SELECT count(*) AS n_open,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS open_cents,
+       count(CASE WHEN o_custkey IS NULL THEN 1 END) AS n_null_custkey
+FROM orders
+WHERE o_orderstatus = 'O'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance
+# ---------------------------------------------------------------------------
+
+
+def q_incr_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: the per-type
+    daily-revenue aggregate is 'maintained' by combining the frozen
+    pre-watermark aggregate with the delta aggregate of rows that
+    arrived after it — algebraically, never by re-scanning history.
+    The oracle computes the same aggregate directly over all rows, so
+    the hash gate proves base ⊕ delta ≡ full recompute (the correctness
+    condition of incremental view maintenance).
+
+    Scale shape: at 100 TB the base side is a stored aggregate read
+    (tiny); only the delta partition is scanned per refresh.  Count and
+    integer-cents sum are the algebraic (commutative-monoid) merge."""
+    cat = Catalog(spark, sf_dir)
+    ev = cat["events"]
+    wm = ev.agg(F.max("ts")).collect()[0][0] - _dt.timedelta(days=7)
+    cents = F.round(F.col("value") * 100).cast("long")
+
+    def agg_of(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum(cents).alias("sum_cents")
+        )
+
+    base = agg_of(ev.where(F.col("ts") <= F.lit(wm)))
+    delta = agg_of(ev.where(F.col("ts") > F.lit(wm)))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("n_events"), F.sum("sum_cents").alias("sum_cents"))
+    )
+    return merged.select(
+        "event_type",
+        "n_events",
+        F.round(F.col("sum_cents") / 100.0, 2).alias("total_value"),
+    )
+
+
+_SQL_INCR_AGG = """
+SELECT event_type,
+       count(*) AS n_events,
+       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # Streaming ingest-quality funnel
 # ---------------------------------------------------------------------------
 
@@ -333,6 +430,8 @@ def ext12_queries() -> dict:
         "dedup_ngram_containment": q_dedup_ngram_containment,
         "text_token_entropy": q_text_token_entropy,
         "streaming_curation_funnel": q_streaming_curation_funnel,
+        "dq_observed_metrics": q_dq_observed_metrics,
+        "incr_agg_maintenance": q_incr_agg_maintenance,
     }
 
 
@@ -344,4 +443,6 @@ def ext12_oracles() -> dict:
         "dedup_ngram_containment": _containment_cte(),
         "text_token_entropy": _SQL_TOKEN_ENTROPY,
         "streaming_curation_funnel": _SQL_STREAMING_FUNNEL,
+        "dq_observed_metrics": _SQL_OBSERVED_METRICS,
+        "incr_agg_maintenance": _SQL_INCR_AGG,
     }
