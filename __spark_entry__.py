@@ -69,7 +69,7 @@ _NEW_THIS_ROUND = [
     "docpipe_gopher_rules", "split_train_valid_test", "heavy_hitters_tokens",
     "token_length_histogram", "skew_report", "events_anomaly_zscore",
     "incr_ingest_watermark", "dedup_substring_coverage", "embed_norm_stats",
-    "sql_group_by_all", "agg_unpivot", "dq_constraint_report", "er_fuzzy_join",
+    "sql_group_by_all", "agg_unpivot_grouped", "dq_constraint_report", "er_fuzzy_join",
     "file_layout_report", "events_winsorize", "events_attribution",
     "events_cohort_matrix", "events_mad_outliers", "dq_benford_digits",
     "quality_lm_score", "mixture_dsir_weights", "orders_seasonality",

@@ -825,7 +825,7 @@ def ext10_queries() -> dict:
         "dedup_substring_coverage": q_dedup_substring_coverage,
         "embed_norm_stats": q_embed_norm_stats,
         "sql_group_by_all": q_sql_group_by_all,
-        "agg_unpivot": q_agg_unpivot,
+        "agg_unpivot_grouped": q_agg_unpivot,
         "dq_constraint_report": q_dq_constraint_report,
         "er_fuzzy_join": q_er_fuzzy_join,
         "file_layout_report": q_file_layout_report,
@@ -845,7 +845,7 @@ def ext10_oracles() -> dict:
         "dedup_substring_coverage": _SQL_SUBSTRING_COVERAGE,
         "embed_norm_stats": _SQL_EMBED_NORM_STATS,
         "sql_group_by_all": _SQL_GROUP_BY_ALL,
-        "agg_unpivot": _SQL_AGG_UNPIVOT,
+        "agg_unpivot_grouped": _SQL_AGG_UNPIVOT,
         "dq_constraint_report": _SQL_DQ_REPORT,
         "er_fuzzy_join": _SQL_ER_FUZZY_JOIN,
         "file_layout_report": _SQL_FILE_LAYOUT,
