@@ -1,0 +1,53 @@
+"""Registration-integrity guards for the driver contract: no query
+module may silently shadow another module's entry (a collision once
+hid round 1's agg_unpivot behind a round-2 namesake), and every oracle
+key must have a query.
+"""
+
+from __future__ import annotations
+
+
+def _module_dicts():
+    import __spark_entry__  # noqa: F401  (ensures sys.path setup)
+    from rdbms_subsetter_spark import (
+        queries_core, queries_ext, queries_ext2, queries_ext3, queries_ext4,
+        queries_ext5, queries_ext6, queries_ext7, queries_ext8, queries_ext9,
+        queries_ext10, queries_ext11, queries_ext12, queries_tpch,
+    )
+
+    return {
+        "core": queries_core.core_queries(),
+        "ext": queries_ext.ext_queries(),
+        "ext2": queries_ext2.ext2_queries(),
+        "ext3": queries_ext3.ext3_queries(),
+        "ext4": queries_ext4.ext4_queries(),
+        "ext5": queries_ext5.ext5_queries(),
+        "ext6": queries_ext6.ext6_queries(),
+        "ext7": queries_ext7.ext7_queries(),
+        "ext8": queries_ext8.ext8_queries(),
+        "ext9": queries_ext9.ext9_queries(),
+        "ext10": queries_ext10.ext10_queries(),
+        "ext11": queries_ext11.ext11_queries(),
+        "ext12": queries_ext12.ext12_queries(),
+        "tpch": queries_tpch.tpch_queries(),
+    }
+
+
+def test_no_cross_module_name_collisions():
+    seen: dict[str, str] = {}
+    dupes = []
+    for tag, d in _module_dicts().items():
+        for name in d:
+            if name in seen:
+                dupes.append((name, seen[name], tag))
+            seen[name] = tag
+    assert not dupes, f"colliding query names: {dupes}"
+
+
+def test_every_oracle_has_a_query_and_total_matches():
+    import __spark_entry__ as m
+
+    qs, oracles = m.queries(), m.oracle_sql()
+    assert set(oracles) <= set(qs)
+    total = sum(len(d) for d in _module_dicts().values())
+    assert len(qs) == total  # nothing shadowed in the merge
