@@ -103,6 +103,13 @@ COMMENTARY = {
         "WindowGroupLimit partial top-1 BEFORE the shuffle — the best-match "
         "window moves at most one candidate per dirty key."
     ),
+    "quality_lm_score": (
+        "Self-corpus bigram LM score. Wanted: ONE explode of the corpus "
+        "(checkpointed for its two consumers), the model as a map-side-"
+        "combined HashAggregate (shuffle = bigram vocab, not positions), "
+        "broadcast join back onto the position stream, no Window operator "
+        "anywhere — the window formulation was 5× slower."
+    ),
     "events_attribution": (
         "First/last-touch attribution. Wanted: ONE per-user window sort "
         "carrying both ignoreNulls frames, both modes exploded from the same "
