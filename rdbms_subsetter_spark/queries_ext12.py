@@ -212,6 +212,55 @@ def q_embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Null semantics battery
+# ---------------------------------------------------------------------------
+
+
+def q_sql_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic battery over a column with injected nulls:
+    null-safe equality (Spark ``<=>`` ≡ SQL IS NOT DISTINCT FROM),
+    NULLIF/COALESCE chains, count(col) vs count(*) null skipping, and
+    NULLS FIRST ordering — the semantics corner every engine must agree
+    on exactly.  One scan, one tiny aggregate."""
+    cat = Catalog(spark, sf_dir)
+    # deterministic null injection: every 7th supplier's acctbal
+    s = cat["supplier"].select(
+        "s_suppkey",
+        F.when(F.col("s_suppkey") % 7 != 0, F.col("s_acctbal")).alias("bal"),
+        F.col("s_nationkey"),
+    )
+    nullsafe_zero = F.expr("bal <=> CAST(NULL AS DOUBLE)")
+    return s.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("bal").alias("n_nonnull"),
+        F.sum(nullsafe_zero.cast("long")).alias("n_nullsafe_null"),
+        F.sum(F.nullif(F.col("s_nationkey"), F.lit(0)).isNull().cast("long")).alias(
+            "n_nullif_zero"
+        ),
+        F.round(F.sum(F.coalesce(F.col("bal"), F.lit(0.0))), 2).alias("sum_coalesced"),
+        F.min(F.when(F.col("bal").isNull(), F.col("s_suppkey"))).alias(
+            "first_null_key"
+        ),
+    )
+
+
+_SQL_NULL_SEMANTICS = """
+WITH s AS (
+  SELECT s_suppkey,
+         CASE WHEN s_suppkey % 7 != 0 THEN s_acctbal END AS bal,
+         s_nationkey
+  FROM supplier)
+SELECT count(*) AS n_rows,
+       count(bal) AS n_nonnull,
+       sum(CASE WHEN bal IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS n_nullsafe_null,
+       sum(CASE WHEN nullif(s_nationkey, 0) IS NULL THEN 1 ELSE 0 END) AS n_nullif_zero,
+       round(sum(coalesce(bal, 0.0)), 2) AS sum_coalesced,
+       min(CASE WHEN bal IS NULL THEN s_suppkey END) AS first_null_key
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
 # Observation API metrics
 # ---------------------------------------------------------------------------
 
@@ -432,6 +481,7 @@ def ext12_queries() -> dict:
         "streaming_curation_funnel": q_streaming_curation_funnel,
         "dq_observed_metrics": q_dq_observed_metrics,
         "incr_agg_maintenance": q_incr_agg_maintenance,
+        "sql_null_semantics": q_sql_null_semantics,
     }
 
 
@@ -445,4 +495,5 @@ def ext12_oracles() -> dict:
         "streaming_curation_funnel": _SQL_STREAMING_FUNNEL,
         "dq_observed_metrics": _SQL_OBSERVED_METRICS,
         "incr_agg_maintenance": _SQL_INCR_AGG,
+        "sql_null_semantics": _SQL_NULL_SEMANTICS,
     }
