@@ -76,7 +76,7 @@ _NEW_THIS_ROUND = [
     "lineitem_pareto_share", "events_changepoint_cusum", "embed_pca_project",
     "dedup_ngram_containment", "text_token_entropy",
     "streaming_curation_funnel", "dq_observed_metrics", "incr_agg_maintenance",
-    "sql_null_semantics",
+    "sql_null_semantics", "sample_weighted_topk",
 ]
 
 # Changed since their last driver verdict — must be (re)graded first.

@@ -212,6 +212,69 @@ def q_embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+_AES_SEED = 29
+_AES_K = 100
+
+
+def q_sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via Efraimidis–Spirakis
+    A-ES: each row draws u ∈ (0,1) and the sample is the top-k rows by
+    key u^(1/w) — one pass, no rejection loop, exactly k rows, and
+    inclusion probability proportional to weight.  The classic
+    distributed answer (per-partition top-k heaps + driver merge via
+    TakeOrderedAndProject — the corpus is never globally sorted).
+
+    u is a seeded md5-derived uniform, so the 'random' draw is
+    bit-identical in any engine — the same determinism contract as the
+    subset sampler (reference ``subsetter.py::_random_row_func`` used
+    dialect random(); we make the stream reproducible instead).
+    Weights = order totalprice: big orders are proportionally more
+    likely to be sampled, the standard revenue-weighted audit draw."""
+    cat = Catalog(spark, sf_dir)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{_AES_SEED}|"), F.col("o_orderkey").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(float(16**15 + 1))  # (0,1], never 0
+    key = F.pow(u, F.lit(1.0) / F.col("o_totalprice"))
+    return (
+        cat["orders"]
+        .where(F.col("o_totalprice") > 0)
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("weight"),
+            F.round(key, 9).alias("aes_key"),
+        )
+        .orderBy(F.desc("aes_key"), "o_orderkey")
+        .limit(_AES_K)
+    )
+
+
+_SQL_SAMPLE_WEIGHTED = f"""
+WITH keyed AS (
+  SELECT o_orderkey,
+         round(o_totalprice, 2) AS weight,
+         pow((CAST(('0x' || substr(md5('{_AES_SEED}|' || o_orderkey), 1, 15)) AS BIGINT) + 1.0)
+             / (power(16, 15) + 1), 1.0 / o_totalprice) AS k
+  FROM orders WHERE o_totalprice > 0)
+SELECT o_orderkey, weight, round(k, 9) AS aes_key
+FROM keyed
+-- order by the ROUNDED key (as Spark does): the 1e-9 tie granularity
+-- absorbs cross-engine pow() last-ulp differences at the k-th cutoff
+ORDER BY aes_key DESC, o_orderkey
+LIMIT {_AES_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Null semantics battery
 # ---------------------------------------------------------------------------
 
@@ -482,6 +545,7 @@ def ext12_queries() -> dict:
         "dq_observed_metrics": q_dq_observed_metrics,
         "incr_agg_maintenance": q_incr_agg_maintenance,
         "sql_null_semantics": q_sql_null_semantics,
+        "sample_weighted_topk": q_sample_weighted_topk,
     }
 
 
@@ -496,4 +560,5 @@ def ext12_oracles() -> dict:
         "dq_observed_metrics": _SQL_OBSERVED_METRICS,
         "incr_agg_maintenance": _SQL_INCR_AGG,
         "sql_null_semantics": _SQL_NULL_SEMANTICS,
+        "sample_weighted_topk": _SQL_SAMPLE_WEIGHTED,
     }
