@@ -113,6 +113,12 @@ HEADLINE = [
     "embed_pca_project",
     "dedup_ngram_containment",
     "text_token_entropy",
+    "sample_weighted_topk",
+    "sql_null_semantics",
+    "incr_agg_maintenance",
+    "dq_observed_metrics",
+    "streaming_curation_funnel",
+    "agg_unpivot_grouped",
 ]
 
 
