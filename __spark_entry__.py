@@ -32,6 +32,7 @@ from rdbms_subsetter_spark.queries_ext9 import ext9_oracles, ext9_queries  # noq
 from rdbms_subsetter_spark.queries_ext10 import ext10_oracles, ext10_queries  # noqa: E402
 from rdbms_subsetter_spark.queries_ext11 import ext11_oracles, ext11_queries  # noqa: E402
 from rdbms_subsetter_spark.queries_ext12 import ext12_oracles, ext12_queries  # noqa: E402
+from rdbms_subsetter_spark.queries_ext13 import ext13_oracles, ext13_queries  # noqa: E402
 from rdbms_subsetter_spark.queries_tpch import tpch_oracles, tpch_queries  # noqa: E402
 
 
@@ -76,7 +77,8 @@ _NEW_THIS_ROUND = [
     "lineitem_pareto_share", "events_changepoint_cusum", "embed_pca_project",
     "dedup_ngram_containment", "text_token_entropy",
     "streaming_curation_funnel", "dq_observed_metrics", "incr_agg_maintenance",
-    "sql_null_semantics", "sample_weighted_topk",
+    "sql_null_semantics", "sample_weighted_topk", "doc_keywords_tfidf",
+    "asof_join_nearest", "equidepth_histogram",
 ]
 
 # Changed since their last driver verdict — must be (re)graded first.
@@ -128,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(ext10_queries())
     out.update(ext11_queries())
     out.update(ext12_queries())
+    out.update(ext13_queries())
     out.update(tpch_queries())
     ordered = _grading_order(list(out))
     return {n: out[n] for n in ordered}
@@ -149,6 +152,7 @@ def oracle_sql() -> dict[str, str]:
         **ext10_oracles(),
         **ext11_oracles(),
         **ext12_oracles(),
+        **ext13_oracles(),
         **tpch_oracles(),
     }.items():
         if sql is not None:
