@@ -119,6 +119,9 @@ HEADLINE = [
     "dq_observed_metrics",
     "streaming_curation_funnel",
     "agg_unpivot_grouped",
+    "doc_keywords_tfidf",
+    "asof_join_nearest",
+    "equidepth_histogram",
 ]
 
 
