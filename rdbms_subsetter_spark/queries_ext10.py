@@ -330,8 +330,8 @@ def q_incr_ingest_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_INCR_WATERMARK = """
 WITH wm AS (SELECT max(ts) - INTERVAL 1 DAY AS w FROM events)
 SELECT event_type,
-       sum(CASE WHEN ts > (SELECT w FROM wm) THEN 1 ELSE 0 END) AS n_new,
-       sum(CASE WHEN ts <= (SELECT w FROM wm) THEN 1 ELSE 0 END) AS n_old,
+       CAST(sum(CASE WHEN ts > (SELECT w FROM wm) THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(sum(CASE WHEN ts <= (SELECT w FROM wm) THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
        max(ts) AS type_max_ts
 FROM events
 GROUP BY event_type
@@ -419,14 +419,14 @@ pos AS (
 freq AS (SELECT w, count(*) AS freq FROM pos GROUP BY w),
 per_doc AS (
   SELECT doc_id, count(*) AS n_windows,
-         sum(CASE WHEN freq > 1 THEN 1 ELSE 0 END) AS n_dup_windows
+         CAST(sum(CASE WHEN freq > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
   FROM pos JOIN freq USING (w)
   GROUP BY doc_id)
 SELECT doc_id, n_windows, n_dup_windows,
        round(n_dup_windows * 1.0 / n_windows, 6) AS dup_frac
 FROM per_doc
 UNION ALL
-SELECT doc_id, 0 AS n_windows, 0 AS n_dup_windows, 0.0 AS dup_frac
+SELECT doc_id, CAST(0 AS BIGINT) AS n_windows, CAST(0 AS BIGINT) AS n_dup_windows, 0.0 AS dup_frac
 FROM toks WHERE len(t) < {_SUB_N}
 """
 
@@ -542,7 +542,7 @@ def q_agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_AGG_UNPIVOT = """
 WITH wide AS (
   SELECT n_name,
-         sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS total_cents,
+         CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_cents,
          CAST(floor(sum(CAST(round(c_acctbal * 100) AS BIGINT)) * 1.0 / count(*)) AS BIGINT) AS avg_cents,
          count(*) AS n_customers
   FROM customer JOIN nation ON c_nationkey = n_nationkey
@@ -805,8 +805,8 @@ WITH pcts AS (
   FROM events GROUP BY event_type)
 SELECT event_type,
        count(*) AS n,
-       sum(CASE WHEN value < p05 THEN 1 ELSE 0 END) AS n_clipped_lo,
-       sum(CASE WHEN value > p95 THEN 1 ELSE 0 END) AS n_clipped_hi,
+       CAST(sum(CASE WHEN value < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+       CAST(sum(CASE WHEN value > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
        round(avg(least(greatest(value, p05), p95)), 4) AS mean_winsorized
 FROM events JOIN pcts USING (event_type)
 GROUP BY event_type

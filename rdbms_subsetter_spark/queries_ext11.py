@@ -205,7 +205,7 @@ SELECT e.event_type,
        count(*) AS n,
        round(any_value(med), 4) AS median,
        round(any_value(mad), 4) AS mad,
-       sum(CASE WHEN abs(value - med) > 3 * 1.4826 * mad THEN 1 ELSE 0 END) AS n_outliers
+       CAST(sum(CASE WHEN abs(value - med) > 3 * 1.4826 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
 FROM events e JOIN mad USING (event_type)
 GROUP BY e.event_type
 """

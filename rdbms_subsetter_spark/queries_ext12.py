@@ -315,8 +315,8 @@ WITH s AS (
   FROM supplier)
 SELECT count(*) AS n_rows,
        count(bal) AS n_nonnull,
-       sum(CASE WHEN bal IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS n_nullsafe_null,
-       sum(CASE WHEN nullif(s_nationkey, 0) IS NULL THEN 1 ELSE 0 END) AS n_nullif_zero,
+       CAST(sum(CASE WHEN bal IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_null,
+       CAST(sum(CASE WHEN nullif(s_nationkey, 0) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nullif_zero,
        round(sum(coalesce(bal, 0.0)), 2) AS sum_coalesced,
        min(CASE WHEN bal IS NULL THEN s_suppkey END) AS first_null_key
 FROM s
@@ -361,7 +361,7 @@ def q_dq_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_OBSERVED_METRICS = """
 SELECT count(*) AS n_open,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS open_cents,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS open_cents,
        count(CASE WHEN o_custkey IS NULL THEN 1 END) AS n_null_custkey
 FROM orders
 WHERE o_orderstatus = 'O'
@@ -444,9 +444,9 @@ WITH flagged AS (
          len({_RAW_TOKS}) AS n_tok
   FROM documents)
 SELECT count(*) AS n_total,
-       sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS n_lang,
-       sum(CASE WHEN s1 AND q >= 0.5 THEN 1 ELSE 0 END) AS n_quality,
-       sum(CASE WHEN s1 AND q >= 0.5 AND n_tok BETWEEN 20 AND 1000 THEN 1 ELSE 0 END) AS n_length
+       CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+       CAST(sum(CASE WHEN s1 AND q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(sum(CASE WHEN s1 AND q >= 0.5 AND n_tok BETWEEN 20 AND 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_length
 FROM flagged
 """
 
@@ -526,7 +526,7 @@ WITH counts AS (
   FROM (SELECT doc_id, unnest({_RAW_TOKS}) AS tok FROM documents)
   GROUP BY doc_id, tok)
 SELECT doc_id,
-       sum(c) AS n_tok,
+       CAST(sum(c) AS BIGINT) AS n_tok,
        count(*) AS n_unique,
        round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS token_entropy
 FROM counts

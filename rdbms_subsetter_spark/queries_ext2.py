@@ -567,7 +567,7 @@ SELECT event_id, user_id, ts, prev_event_id, prev_value FROM (
 """,
         "range_join_price_bands": f"""
 WITH bands(lo, hi) AS (VALUES {_bands_values()})
-SELECT lo AS band_lo,
+SELECT CAST(lo AS DOUBLE) AS band_lo,
        count(*) AS n_parts,
        round(avg(p_retailprice), 4) AS avg_price,
        round(sum(p_retailprice), 2) AS sum_price

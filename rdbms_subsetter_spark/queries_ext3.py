@@ -918,7 +918,7 @@ SELECT doc_id, lang, n_chars, quality FROM (
 WHERE rn = 1
 """,
         "partitioned_source_prune": """
-SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents WHERE lang IN ('en', 'de')
 GROUP BY lang, source
 """,

@@ -129,9 +129,9 @@ WITH flagged AS (
   FROM documents)
 SELECT lang,
        count(*) AS n_total,
-       sum(keep) AS n_kept,
+       CAST(sum(keep) AS BIGINT) AS n_kept,
        round(sum(keep) * 1.0 / count(*), 4) AS rate_realized,
-       sum(keep * n_chars) AS chars_kept
+       CAST(sum(keep * n_chars) AS BIGINT) AS chars_kept
 FROM flagged GROUP BY lang
 """,
         "decontaminate_ngram": f"""

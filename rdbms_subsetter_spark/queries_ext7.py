@@ -120,9 +120,9 @@ WITH counts AS (
   FROM counts
 )
 SELECT lang, max(rate_bps) AS rate_bps, max(c_l) AS n_total,
-       sum(CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+       CAST(sum(CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                          AS BIGINT) % 10000 < rate_bps
-                THEN 1 ELSE 0 END) AS n_kept
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM documents JOIN rates USING (lang)
 GROUP BY lang
 """

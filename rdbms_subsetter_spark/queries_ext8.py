@@ -44,7 +44,7 @@ def q_json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_JSON_VARIANT = """
 SELECT event_type, count(*) AS n_events,
-       sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
        min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
        max(CAST(props->>'$.k' AS BIGINT)) AS max_k,
        count(*) FILTER (WHERE props->>'$.k' IS NULL) AS n_null_k
@@ -178,7 +178,7 @@ def q_text_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_TEXT_SOURCE = """
-SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
        min(doc_id) AS min_id, max(doc_id) AS max_id
 FROM documents
 GROUP BY lang

@@ -211,9 +211,9 @@ WITH flagged AS (
          md5({_NORM}) AS fp
   FROM documents)
 SELECT count(*) AS n_total,
-       sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS n_lang,
-       sum(CASE WHEN s1 AND q >= 0.5 THEN 1 ELSE 0 END) AS n_quality,
-       sum(CASE WHEN s1 AND q >= 0.5 AND n_tok BETWEEN 20 AND 1000 THEN 1 ELSE 0 END) AS n_length,
+       CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+       CAST(sum(CASE WHEN s1 AND q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(sum(CASE WHEN s1 AND q >= 0.5 AND n_tok BETWEEN 20 AND 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_length,
        count(DISTINCT CASE WHEN s1 AND q >= 0.5 AND n_tok BETWEEN 20 AND 1000 THEN fp END) AS n_dedup
 FROM flagged
 """

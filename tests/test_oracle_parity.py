@@ -86,3 +86,23 @@ def test_query_matches_oracle(name, spark, duck):
     if sn != dn:
         diffs = [(a, b) for a, b in zip(sn, dn) if a != b][:5]
         raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_arrow_types_hashable(name, duck):
+    """Driver-hash guard: the oracle's Arrow schema must not contain
+    decimal128 columns.  DuckDB types SUM(<integer>) as HUGEINT ->
+    Arrow decimal128(38,0) while Spark emits int64; the grading driver
+    canonicalizes Decimal("61") != 61 and fails the hash even when the
+    values are identical (root cause of all 10 red CORRECTNESS_r02 rows).
+    Every integer SUM in oracle SQL must be wrapped CAST(... AS BIGINT).
+    """
+    register_views(duck, SF_DIR)
+    tbl = duck.execute(ORACLES[name]).arrow()
+    offenders = [
+        f"{f.name}:{f.type}" for f in tbl.schema if "decimal" in str(f.type)
+    ]
+    assert not offenders, (
+        f"{name}: oracle emits Arrow decimal columns {offenders}; "
+        f"wrap integer SUMs with CAST(... AS BIGINT)"
+    )
