@@ -75,6 +75,10 @@ def dedup_survivors(flagged: DataFrame, method: str, threshold: float) -> DataFr
     if method == "exact":
         return dd.drop_exact_duplicates(passed)
     if method == "minhash":
+        # exact dedup first (production pipelines always stack it under
+        # near-dedup): exact dupes with <3 tokens produce no shingles and
+        # would otherwise slip past MinHash-LSH entirely (ADVICE r02)
+        passed = dd.drop_exact_duplicates(passed)
         pairs = dd.minhash_lsh_pairs(passed, threshold=threshold)
         clusters = dd.connected_components(pairs)
         drop = clusters.where(F.col("node") != F.col("cluster_id")).select(
@@ -118,7 +122,9 @@ def curate(
     )
     split_key = "source" if group_split else "doc_id"
     split = partitioning.split_assignment(survivors, split_key, seed=split_seed)
-    sharded = partitioning.shard_assignment(split, "doc_id", n_shards=shards).select(
+    sharded = partitioning.shard_assignment(
+        split, "doc_id", n_shards=shards, within=["split"]
+    ).select(
         "doc_id", "text", "lang", "source", "n_chars", "split", "shard", "position"
     )
 

@@ -199,6 +199,7 @@ def shard_assignment(
     id_col: str,
     n_shards: int = 8,
     seed: int = 42,
+    within: list[str] | None = None,
 ) -> DataFrame:
     """Deterministic pseudorandom shard + position for training-data
     serving: shard = portable_md5(id) mod n_shards, position = rank of
@@ -206,6 +207,11 @@ def shard_assignment(
     engines and runs (seeded md5, no RNG state), which is what a
     resumable data loader needs: epoch N's order can be recomputed from
     (seed, ids) alone.
+
+    ``within`` adds extra partition columns to the position window so
+    positions are dense per (within..., shard) — e.g. pass ["split"] when
+    the frame carries train/valid/test splits and a loader reading only
+    one split still needs gap-free positions (ADVICE r02).
 
     Scale shape: one hash projection + one window sort per shard
     partition — the sort is per-shard (n_shards independent ranges),
@@ -216,7 +222,7 @@ def shard_assignment(
         16,
         10,
     ).cast("long")
-    w = Window.partitionBy("shard").orderBy("sort_key", id_col)
+    w = Window.partitionBy(*(within or []), "shard").orderBy("sort_key", id_col)
     return (
         df.withColumn("sort_key", h)
         .withColumn("shard", F.pmod(F.col("sort_key"), F.lit(n_shards)).cast("int"))

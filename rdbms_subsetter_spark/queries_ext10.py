@@ -684,15 +684,22 @@ def q_er_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = (
         dirty_names.join(clean_names, "block")
         .where(lev <= 2)
-        .select("dirty_name", "cand_key", "cand_name", lev.cast("long").alias("lev"))
+        .select(
+            "dirty_name", "block", "cand_key", "cand_name",
+            lev.cast("long").alias("lev"),
+        )
     )
-    w = Window.partitionBy("dirty_name").orderBy("lev", "cand_key")
+    # best match is resolved per (dirty_name, block), and the join back
+    # carries block too: if one corrupted name ever arose from originals
+    # with different blocking keys, each block keeps its own winner —
+    # matching the oracle's per-dirty_key-within-block semantics
+    w = Window.partitionBy("dirty_name", "block").orderBy("lev", "cand_key")
     best = (
         cands.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .drop("rn")
     )
-    return dirty_rows.join(F.broadcast(best), "dirty_name").select(
+    return dirty_rows.join(F.broadcast(best), ["dirty_name", "block"]).select(
         "dirty_key", "dirty_name", "cand_key", "cand_name", "lev"
     )
 

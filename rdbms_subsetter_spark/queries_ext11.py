@@ -115,9 +115,12 @@ def q_events_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     count-distinct over the tiny cohort×offset domain."""
     cat = Catalog(spark, sf_dir)
     ev = cat["events"]
-    week = (F.datediff(F.col("ts").cast("date"), F.lit(_COHORT_ORIGIN).cast("date")) / 7).cast(
-        "int"
-    )
+    # floor division, not truncation: events before the origin land in
+    # negative weeks, and int-cast truncates toward zero while the
+    # oracle's // floors — they disagree on day -1 (ADVICE r02)
+    week = F.floor(
+        F.datediff(F.col("ts").cast("date"), F.lit(_COHORT_ORIGIN).cast("date")) / 7
+    ).cast("int")
     first_seen = (
         ev.select("user_id", week.alias("week"))
         .groupBy("user_id")

@@ -56,10 +56,12 @@ def test_splits_partition_the_output(curated):
     assert out.select("doc_id").distinct().count() == out.count()
 
 
-def test_shard_positions_are_dense_per_shard(curated):
+def test_shard_positions_are_dense_per_split_and_shard(curated):
+    # positions must be gap-free within each (split, shard) so a loader
+    # reading only split=train sees dense positions (ADVICE r02)
     _, out = curated
     bad = (
-        out.groupBy("shard")
+        out.groupBy("split", "shard")
         .agg(F.count(F.lit(1)).alias("n"), F.max("position").alias("maxp"))
         .where(F.col("n") != F.col("maxp"))
         .count()
