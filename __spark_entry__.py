@@ -33,6 +33,7 @@ from rdbms_subsetter_spark.queries_ext10 import ext10_oracles, ext10_queries  # 
 from rdbms_subsetter_spark.queries_ext11 import ext11_oracles, ext11_queries  # noqa: E402
 from rdbms_subsetter_spark.queries_ext12 import ext12_oracles, ext12_queries  # noqa: E402
 from rdbms_subsetter_spark.queries_ext13 import ext13_oracles, ext13_queries  # noqa: E402
+from rdbms_subsetter_spark.queries_ext14 import ext14_oracles, ext14_queries  # noqa: E402
 from rdbms_subsetter_spark.queries_tpch import tpch_oracles, tpch_queries  # noqa: E402
 
 
@@ -91,6 +92,8 @@ _CHANGED_THIS_ROUND = [
     "json_variant_extract", "mixture_temperature_sample",
     "mixture_weighted_sample", "partitioned_source_prune",
     "range_join_price_bands", "text_source_agg", "tpch_priority_class",
+    # new in r03 — no driver verdict yet
+    "jdbc_source_agg",
 ]
 
 
@@ -136,6 +139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(ext11_queries())
     out.update(ext12_queries())
     out.update(ext13_queries())
+    out.update(ext14_queries())
     out.update(tpch_queries())
     ordered = _grading_order(list(out))
     return {n: out[n] for n in ordered}
@@ -158,6 +162,7 @@ def oracle_sql() -> dict[str, str]:
         **ext11_oracles(),
         **ext12_oracles(),
         **ext13_oracles(),
+        **ext14_oracles(),
         **tpch_oracles(),
     }.items():
         if sql is not None:

@@ -122,6 +122,7 @@ HEADLINE = [
     "doc_keywords_tfidf",
     "asof_join_nearest",
     "equidepth_histogram",
+    "jdbc_source_agg",
 ]
 
 

@@ -95,15 +95,24 @@ def read_jdbc(
     the read into ``num_partitions`` range queries — without it the scan
     is a single connection, which is never acceptable at scale."""
     _check_jdbc(spark, driver)
-    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("driver", driver)
+        .option("dbtable", table)
+    )
     if partition_column is not None:
-        bounds = spark.read.format("jdbc").option("url", url).option(
-            "query", f"SELECT min({partition_column}) lo, max({partition_column}) hi FROM {table}"
+        # quote the identifier: Spark's JDBC sink creates case-sensitive
+        # quoted column names, and an unquoted name gets upcased by
+        # ANSI-folding engines (Derby) into a missing column
+        qc = f'"{partition_column}"'
+        bounds = spark.read.format("jdbc").option("url", url).option("driver", driver).option(
+            "query", f"SELECT min({qc}) lo, max({qc}) hi FROM {table}"
         ).load().collect()[0]
         reader = (
             reader.option("partitionColumn", partition_column)
-            .option("lowerBound", str(bounds["lo"]))
-            .option("upperBound", str(bounds["hi"]))
+            .option("lowerBound", str(bounds[0]))
+            .option("upperBound", str(bounds[1]))
             .option("numPartitions", str(num_partitions))
         )
     for k, v in options.items():
@@ -126,10 +135,56 @@ def write_jdbc(
     (
         df.write.format("jdbc")
         .option("url", url)
+        .option("driver", driver)
         .option("dbtable", table)
         .option("batchsize", str(batch_size))
         .mode(mode)
         .save()
+    )
+
+
+DERBY_EMBEDDED_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def derby_url(tag: str) -> str:
+    """Embedded-Derby JDBC URL on a per-process scratch path.
+
+    Derby ships on Spark's classpath (the Hive-metastore dependency), so
+    an embedded database is the one RDBMS endpoint guaranteed present in
+    any Spark deployment — it makes the JDBC source/sink path REAL
+    (reference: `subsetter.py::Db.__init__` connects source and dest
+    over a DB-API URL) without shipping an external server.  Embedded
+    Derby is single-JVM (fine under local[*]: executors share the JVM);
+    a per-PID path keeps concurrent test/driver processes off each
+    other's `db.lck`.
+    """
+    base = _scratch_dir("derby", tag, str(os.getpid()))
+    return f"jdbc:derby:{base};create=true"
+
+
+def jdbc_roundtrip(
+    df: DataFrame,
+    tag: str,
+    table: str,
+    partition_column: str | None = None,
+) -> DataFrame:
+    """parquet → JDBC sink → partitioned JDBC scan, over embedded Derby.
+
+    The sink is the reference's destination-insert path (op #16) done
+    set-at-a-time (batched INSERTs, one round-trip per batch instead of
+    per row); the read-back proves the values survive the SQL type
+    system bit-exactly.  ``partition_column`` splits the scan into range
+    queries exactly as a production JDBC extract should.
+    """
+    url = derby_url(tag)
+    write_jdbc(df, url, table, driver=DERBY_EMBEDDED_DRIVER, mode="overwrite")
+    return read_jdbc(
+        df.sparkSession,
+        url,
+        table,
+        driver=DERBY_EMBEDDED_DRIVER,
+        partition_column=partition_column,
+        num_partitions=8,
     )
 
 
