@@ -93,7 +93,7 @@ _CHANGED_THIS_ROUND = [
     "mixture_weighted_sample", "partitioned_source_prune",
     "range_join_price_bands", "text_source_agg", "tpch_priority_class",
     # new in r03 — no driver verdict yet
-    "jdbc_source_agg",
+    "jdbc_source_agg", "graph_pagerank_fixture", "dedup_semdedup_fixture",
 ]
 
 
