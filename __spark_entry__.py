@@ -94,6 +94,10 @@ _CHANGED_THIS_ROUND = [
     "range_join_price_bands", "text_source_agg", "tpch_priority_class",
     # new in r03 — no driver verdict yet
     "jdbc_source_agg", "graph_pagerank_fixture", "dedup_semdedup_fixture",
+    "docs_per_source_cap", "dedup_paragraph_exact", "corpus_overlap_jaccard",
+    "eval_balanced_sample", "knn_graph_degree", "sql_parameterized",
+    "sql_identifier_clause", "sql_session_variables", "sql_lateral_alias",
+    "sql_execute_immediate",
 ]
 
 

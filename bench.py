@@ -123,6 +123,11 @@ HEADLINE = [
     "asof_join_nearest",
     "equidepth_histogram",
     "jdbc_source_agg",
+    "docs_per_source_cap",
+    "dedup_paragraph_exact",
+    "corpus_overlap_jaccard",
+    "eval_balanced_sample",
+    "knn_graph_degree",
 ]
 
 

@@ -136,11 +136,429 @@ _SQL_SEMDEDUP_FIXTURE = "SELECT * FROM (VALUES {vals}) AS t(cell, n_vectors, n_k
 )
 
 
+# ---------------------------------------------------------------------------
+# Crawl-curation operators: per-source caps, paragraph dedup, corpus
+# overlap, balanced eval sampling, kNN graph
+# ---------------------------------------------------------------------------
+
+
+def q_docs_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap — the crawl-curation rule that stops one
+    domain from dominating the mixture: keep at most 5 docs per source,
+    preferring longer documents (n_chars desc, doc_id tiebreak).
+
+    Scale shape: one window sort per source partition; Spark's
+    WindowGroupLimit pushes the rank<=5 cut into a partial pre-shuffle
+    top-k, so the shuffle carries at most 5 rows per (partition, source)
+    instead of the whole table."""
+    cat = Catalog(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        cat["documents"]
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "source", "n_chars", "rk")
+    )
+
+
+_SQL_PER_SOURCE_CAP = """
+SELECT doc_id, source, n_chars, rk FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents)
+WHERE rk <= 5
+"""
+
+
+def q_dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style span-level dedup signal: split each document into
+    sentence spans, fingerprint each distinct span, and count per doc
+    how many of its spans are owned by an earlier document (the spans a
+    line-level dedup pass would strip).  Owner of a span = min doc_id
+    containing it.
+
+    Scale shape: one explode → distinct (doc, span-hash) pre-aggregation
+    bounds the shuffle to distinct spans per doc; ownership is one
+    groupBy(min) over the hashed span domain joined back — never a
+    doc × doc comparison."""
+    cat = Catalog(spark, sf_dir)
+    spans = (
+        cat["documents"]
+        .select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), "\\. ")).alias("span"),
+        )
+        .where(F.length(F.trim(F.col("span"))) >= 20)
+        .select("doc_id", F.xxhash64(F.trim(F.col("span"))).alias("h"))
+        .distinct()
+    )
+    owners = spans.groupBy("h").agg(F.min("doc_id").alias("owner"))
+    return (
+        spans.join(owners, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("owner") < F.col("doc_id")).cast("long")).alias(
+                "n_foreign_dup"
+            ),
+        )
+    )
+
+
+_SQL_PARAGRAPH_DEDUP = """
+WITH spans AS (
+  SELECT DISTINCT doc_id, trim(s) AS span
+  FROM (SELECT doc_id, unnest(string_split_regex(text, '\\. ')) AS s
+        FROM documents)
+  WHERE length(trim(s)) >= 20),
+owners AS (SELECT span, min(doc_id) AS owner FROM spans GROUP BY span)
+SELECT doc_id,
+       count(*) AS n_spans,
+       CAST(sum(CASE WHEN owner < doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_foreign_dup
+FROM spans JOIN owners USING (span)
+GROUP BY doc_id
+"""
+
+
+def q_corpus_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-overlap audit (the pre-merge question for any two crawls:
+    how much is shared?): documents are split into two pseudo-corpora by
+    source hash, fingerprinted by normalized text, and the distinct-
+    fingerprint overlap + Jaccard is computed in ONE aggregate over the
+    per-fingerprint presence flags.
+
+    Scale shape: groupBy(fingerprint) with bool_or flags — shuffle is
+    the distinct fingerprint domain, the A/B/∩ counts all come from the
+    same tiny post-aggregation scan."""
+    cat = Catalog(spark, sf_dir)
+    fp = F.md5(F.lower(F.regexp_replace(F.col("text"), "\\s+", " ")))
+    side_a = (
+        F.conv(F.substring(F.md5(F.col("source")), 1, 2), 16, 10).cast("int") % 2 == 0
+    )
+    flags = (
+        cat["documents"]
+        .select(fp.alias("fp"), side_a.alias("in_a"))
+        .groupBy("fp")
+        .agg(F.bool_or("in_a").alias("a"), F.bool_or(~F.col("in_a")).alias("b"))
+    )
+    return flags.agg(
+        F.sum(F.col("a").cast("long")).alias("n_a"),
+        F.sum(F.col("b").cast("long")).alias("n_b"),
+        F.sum((F.col("a") & F.col("b")).cast("long")).alias("n_both"),
+        F.round(
+            F.sum((F.col("a") & F.col("b")).cast("long"))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("jaccard"),
+    )
+
+
+_SQL_CORPUS_OVERLAP = """
+WITH flags AS (
+  SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+         bool_or(CAST(('0x' || substr(md5(source), 1, 2)) AS INT) % 2 = 0) AS a,
+         bool_or(CAST(('0x' || substr(md5(source), 1, 2)) AS INT) % 2 <> 0) AS b
+  FROM documents GROUP BY 1)
+SELECT CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+       round(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS jaccard
+FROM flags
+"""
+
+
+def q_eval_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced eval-set construction: exactly 20 docs per language,
+    chosen by a seeded md5 permutation (deterministic across engines and
+    runs — re-running the pipeline regenerates the same eval set).
+    Returns the per-language summary of the sampled set.
+
+    Scale shape: hash-rank window per language with WindowGroupLimit
+    partial pruning — at most 20 candidates per (partition, lang) reach
+    the shuffle; no global sort, no driver-side sampling state."""
+    cat = Catalog(spark, sf_dir)
+    from pyspark.sql import Window
+
+    rankkey = F.conv(
+        F.substring(F.md5(F.concat(F.lit("7|"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("lang").orderBy("rk_hash", "doc_id")
+    return (
+        cat["documents"]
+        .select("lang", "doc_id", "n_chars", rankkey.alias("rk_hash"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
+
+
+_SQL_EVAL_BALANCED = """
+WITH ranked AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY CAST(('0x' || substr(md5('7|' || CAST(doc_id AS VARCHAR)), 1, 15))
+                         AS BIGINT), doc_id) AS rk
+  FROM documents)
+SELECT lang, count(*) AS n_sampled,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM ranked WHERE rk <= 20
+GROUP BY lang
+"""
+
+
+def q_knn_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-degree distribution of the exact cosine 3-NN graph over the
+    embedding corpus — the connectivity audit run before graph-based
+    semantic clustering (hub vectors = high in-degree).
+
+    Uses the bounded-broadcast ``cosine_topk`` kernel (every vector is a
+    query; the corpus scan emits only local top-k per query, shuffle ∝
+    queries × k).  At 100 TB the same audit runs over ``srp_topk``'s
+    LSH-bucketed graph instead — the exact kernel here is the recall
+    baseline.  Zero-in-degree vectors are kept via a left join against
+    the vector set."""
+    from rdbms_subsetter_spark.operators import similarity
+
+    cat = Catalog(spark, sf_dir)
+    emb = cat["embeddings"]
+    knn = similarity.cosine_topk(emb, emb, k=3, round_to=6)
+    indeg = knn.groupBy(F.col("neighbor_id").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+    return (
+        emb.select("vec_id")
+        .join(indeg, "vec_id", "left")
+        .select(F.coalesce("in_degree", F.lit(0)).alias("in_degree"))
+        .groupBy("in_degree")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+_SQL_KNN_DEGREE = """
+WITH pairs AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         round(list_dot_product(a.embedding, b.embedding)
+               / (sqrt(list_dot_product(a.embedding, a.embedding))
+                  * sqrt(list_dot_product(b.embedding, b.embedding))), 6) AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+knn AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                                        ORDER BY cos DESC, nid) AS rk
+    FROM pairs)
+  WHERE rk <= 3),
+indeg AS (SELECT nid, count(*) AS in_degree FROM knn GROUP BY nid)
+SELECT in_degree, count(*) AS n_vectors FROM (
+  SELECT coalesce(i.in_degree, 0) AS in_degree
+  FROM embeddings e LEFT JOIN indeg i ON e.vec_id = i.nid)
+GROUP BY in_degree
+"""
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 SQL-surface entries: parameterized SQL, IDENTIFIER, session
+# variables, lateral column aliases, EXECUTE IMMEDIATE
+# ---------------------------------------------------------------------------
+
+
+def _scoped_view(spark: SparkSession, df, base: str, sf_dir: str) -> str:
+    """Uniquely-named temp view, dropped by callers in a finally block —
+    never register catalog table names (session-global shadowing)."""
+    name = f"__{base}_{abs(hash(sf_dir)) % 10**9}"
+    df.createOrReplaceTempView(name)
+    return name
+
+
+def q_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (`spark.sql(..., args={...})`): parameter
+    binding happens in the parser (literals in the plan, no string
+    interpolation / injection surface), so the bound plan is identical
+    to the literal query — pushdown and partial aggs included."""
+    cat = Catalog(spark, sf_dir)
+    view = _scoped_view(spark, cat["orders"], "param_orders", sf_dir)
+    try:
+        return spark.sql(
+            f"""
+            SELECT o_orderpriority, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM {view}
+            WHERE o_orderstatus = :status AND o_totalprice > :floor
+            GROUP BY o_orderpriority
+            """,
+            args={"status": "F", "floor": 50000.0},
+        )
+    finally:
+        spark.catalog.dropTempView(view)
+
+
+_SQL_PARAMETERIZED = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice > 50000.0
+GROUP BY o_orderpriority
+"""
+
+
+def q_sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTIFIER(:param) — dynamic table/column references that stay
+    injection-safe (the parameter is resolved as an identifier, not
+    spliced as text).  The templated-pipeline primitive: one parameter-
+    ized statement serves N tables."""
+    cat = Catalog(spark, sf_dir)
+    view = _scoped_view(spark, cat["customer"], "ident_customer", sf_dir)
+    try:
+        return spark.sql(
+            """
+            SELECT c_mktsegment, count(*) AS n_cust,
+                   round(avg(IDENTIFIER(:balcol)), 4) AS avg_bal
+            FROM IDENTIFIER(:tbl)
+            GROUP BY c_mktsegment
+            """,
+            args={"tbl": view, "balcol": "c_acctbal"},
+        )
+    finally:
+        spark.catalog.dropTempView(view)
+
+
+_SQL_IDENTIFIER = """
+SELECT c_mktsegment, count(*) AS n_cust,
+       round(avg(c_acctbal), 4) AS avg_bal
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+def q_sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (DECLARE / SET VARIABLE): procedural-script
+    state without a driver round-trip per use.  The variable is set from
+    a scalar query (the mean order price) and read by the main query —
+    the two statements share state through the session, exactly how a
+    parameter-sweep script threads thresholds."""
+    cat = Catalog(spark, sf_dir)
+    view = _scoped_view(spark, cat["orders"], "var_orders", sf_dir)
+    try:
+        spark.sql("DECLARE OR REPLACE VARIABLE rss_price_cut DOUBLE")
+        spark.sql(
+            f"SET VARIABLE rss_price_cut = (SELECT avg(o_totalprice) FROM {view})"
+        )
+        return spark.sql(
+            f"""
+            SELECT o_orderstatus,
+                   count(*) AS n_above,
+                   round(min(o_totalprice) - rss_price_cut, 2) AS min_gap
+            FROM {view}
+            WHERE o_totalprice > rss_price_cut
+            GROUP BY o_orderstatus
+            """
+        )
+    finally:
+        spark.catalog.dropTempView(view)
+        spark.sql("DROP TEMPORARY VARIABLE IF EXISTS rss_price_cut")
+
+
+_SQL_SESSION_VARIABLES = """
+WITH cut AS (SELECT avg(o_totalprice) AS c FROM orders)
+SELECT o_orderstatus, count(*) AS n_above,
+       round(min(o_totalprice) - (SELECT c FROM cut), 2) AS min_gap
+FROM orders
+WHERE o_totalprice > (SELECT c FROM cut)
+GROUP BY o_orderstatus
+"""
+
+
+def q_sql_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases: later SELECT items reference earlier
+    ones (`a AS x, x*2 AS y`) — the derived-metric chain without a
+    nested subquery per step.  Catalyst inlines the chain; the plan is
+    identical to the fully-expanded projection the oracle spells out."""
+    cat = Catalog(spark, sf_dir)
+    view = _scoped_view(spark, cat["lineitem"], "lca_lineitem", sf_dir)
+    try:
+        return spark.sql(
+            f"""
+            SELECT l_returnflag,
+                   round(sum(l_extendedprice), 2) AS gross,
+                   round(gross * 0.9, 2) AS after_fee,
+                   round(after_fee - sum(l_extendedprice * l_discount), 2)
+                     AS net_estimate
+            FROM {view}
+            GROUP BY l_returnflag
+            """
+        )
+    finally:
+        spark.catalog.dropTempView(view)
+
+
+_SQL_LATERAL_ALIAS = """
+SELECT l_returnflag,
+       round(sum(l_extendedprice), 2) AS gross,
+       round(round(sum(l_extendedprice), 2) * 0.9, 2) AS after_fee,
+       round(round(round(sum(l_extendedprice), 2) * 0.9, 2)
+             - sum(l_extendedprice * l_discount), 2) AS net_estimate
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE IMMEDIATE with positional USING binds: SQL built as a
+    string but bound as parameters (the stored-procedure migration
+    path).  Same parser-level binding as :name parameters."""
+    cat = Catalog(spark, sf_dir)
+    view = _scoped_view(spark, cat["supplier"], "exec_supplier", sf_dir)
+    try:
+        return spark.sql(
+            f"""
+            EXECUTE IMMEDIATE
+              'SELECT s_nationkey, count(*) AS n_supp,
+                      round(sum(s_acctbal), 2) AS sum_bal
+               FROM {view} WHERE s_acctbal > ? GROUP BY s_nationkey'
+            USING 0.0
+            """
+        )
+    finally:
+        spark.catalog.dropTempView(view)
+
+
+_SQL_EXECUTE_IMMEDIATE = """
+SELECT s_nationkey, count(*) AS n_supp,
+       round(sum(s_acctbal), 2) AS sum_bal
+FROM supplier WHERE s_acctbal > 0.0
+GROUP BY s_nationkey
+"""
+
+
 def ext14_queries() -> dict:
     return {
         "jdbc_source_agg": q_jdbc_source_agg,
         "graph_pagerank_fixture": q_graph_pagerank_fixture,
         "dedup_semdedup_fixture": q_dedup_semdedup_fixture,
+        "docs_per_source_cap": q_docs_per_source_cap,
+        "dedup_paragraph_exact": q_dedup_paragraph_exact,
+        "corpus_overlap_jaccard": q_corpus_overlap_jaccard,
+        "eval_balanced_sample": q_eval_balanced_sample,
+        "knn_graph_degree": q_knn_graph_degree,
+        "sql_parameterized": q_sql_parameterized,
+        "sql_identifier_clause": q_sql_identifier_clause,
+        "sql_session_variables": q_sql_session_variables,
+        "sql_lateral_alias": q_sql_lateral_alias,
+        "sql_execute_immediate": q_sql_execute_immediate,
     }
 
 
@@ -149,4 +567,14 @@ def ext14_oracles() -> dict:
         "jdbc_source_agg": _SQL_JDBC_SOURCE,
         "graph_pagerank_fixture": _SQL_PAGERANK_FIXTURE,
         "dedup_semdedup_fixture": _SQL_SEMDEDUP_FIXTURE,
+        "docs_per_source_cap": _SQL_PER_SOURCE_CAP,
+        "dedup_paragraph_exact": _SQL_PARAGRAPH_DEDUP,
+        "corpus_overlap_jaccard": _SQL_CORPUS_OVERLAP,
+        "eval_balanced_sample": _SQL_EVAL_BALANCED,
+        "knn_graph_degree": _SQL_KNN_DEGREE,
+        "sql_parameterized": _SQL_PARAMETERIZED,
+        "sql_identifier_clause": _SQL_IDENTIFIER,
+        "sql_session_variables": _SQL_SESSION_VARIABLES,
+        "sql_lateral_alias": _SQL_LATERAL_ALIAS,
+        "sql_execute_immediate": _SQL_EXECUTE_IMMEDIATE,
     }
