@@ -180,10 +180,15 @@ def q_dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     line-level dedup pass would strip).  Owner of a span = min doc_id
     containing it.
 
-    Scale shape: one explode → distinct (doc, span-hash) pre-aggregation
-    bounds the shuffle to distinct spans per doc; ownership is one
-    groupBy(min) over the hashed span domain joined back — never a
-    doc × doc comparison."""
+    Scale shape: ONE explode, spans hashed to 8-byte xxhash64 keys
+    immediately (no string shuffle), distinct (doc, hash) pre-agg, then
+    ownership as min(doc_id) OVER the hash partition — a window, not a
+    groupBy+join: the owner relation is corpus-scale (one row per
+    distinct span) and must never be a broadcast side.  Three exchanges
+    (map-combined distinct pre-agg, hash window, per-doc regroup);
+    never doc × doc."""
+    from pyspark.sql import Window
+
     cat = Catalog(spark, sf_dir)
     spans = (
         cat["documents"]
@@ -195,15 +200,13 @@ def q_dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.xxhash64(F.trim(F.col("span"))).alias("h"))
         .distinct()
     )
-    owners = spans.groupBy("h").agg(F.min("doc_id").alias("owner"))
+    owner = F.min("doc_id").over(Window.partitionBy("h"))
     return (
-        spans.join(owners, "h")
+        spans.withColumn("foreign", (F.col("doc_id") > owner).cast("long"))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
-            F.sum((F.col("owner") < F.col("doc_id")).cast("long")).alias(
-                "n_foreign_dup"
-            ),
+            F.sum("foreign").alias("n_foreign_dup"),
         )
     )
 

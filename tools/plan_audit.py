@@ -122,6 +122,25 @@ COMMENTARY = {
         "single-row broadcast cross join, TakeOrderedAndProject for the "
         "top-k (no full sort)."
     ),
+    "docs_per_source_cap": (
+        "Per-domain document cap. Wanted: WindowGroupLimit partial top-5 "
+        "BEFORE the source-key exchange — each map task forwards at most 5 "
+        "candidates per source, so the shuffle is ∝ sources × 5, not rows."
+    ),
+    "dedup_paragraph_exact": (
+        "C4-style span-ownership dedup. Wanted: ONE explode of the corpus, "
+        "spans hashed to 8-byte keys immediately (xxhash64 — no string "
+        "shuffle), distinct (doc,hash) pre-agg, ownership as min-over-window "
+        "on the hash partition (NOT a groupBy+join — the owner relation is "
+        "corpus-scale and must never be a broadcast side), two exchanges "
+        "total; never a doc × doc comparison."
+    ),
+    "knn_graph_degree": (
+        "Exact cosine 3-NN graph in-degree audit. Wanted: the corpus scanned "
+        "ONCE through the Arrow-batched BLAS kernel emitting local top-k per "
+        "query (shuffle ∝ queries × k, never corpus × queries), one window "
+        "for the global top-3, tiny-domain degree aggregates after."
+    ),
 }
 
 
