@@ -97,7 +97,7 @@ _CHANGED_THIS_ROUND = [
     "docs_per_source_cap", "dedup_paragraph_exact", "corpus_overlap_jaccard",
     "eval_balanced_sample", "knn_graph_degree", "sql_parameterized",
     "sql_identifier_clause", "sql_session_variables", "sql_lateral_alias",
-    "sql_execute_immediate",
+    "sql_execute_immediate", "pysource_stream_agg",
 ]
 
 

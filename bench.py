@@ -128,6 +128,7 @@ HEADLINE = [
     "corpus_overlap_jaccard",
     "eval_balanced_sample",
     "knn_graph_degree",
+    "pysource_stream_agg",
 ]
 
 

@@ -547,6 +547,56 @@ GROUP BY s_nationkey
 """
 
 
+# ---------------------------------------------------------------------------
+# Streaming custom Python DataSource (Spark 4 simpleStreamReader)
+# ---------------------------------------------------------------------------
+
+
+def q_pysource_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python STREAMING source (Spark 4 ``simpleStreamReader``):
+    the deterministic generator replayed as micro-batches (700 rows per
+    trigger until 5000), complete-mode per-part aggregate over the
+    bounded stream.  The offset log is plain dicts and
+    ``readBetweenOffsets`` regenerates identical rows, so the replay
+    equals the batch generator over [0, 5000) and the DuckDB
+    generate_series oracle reproduces it bit-exactly (pure-IEEE value
+    formula, multiples of 1/8)."""
+    from rdbms_subsetter_spark.sources.pysource import RangeGenDataSource
+    from rdbms_subsetter_spark.streaming.events import run_stream_to_memory
+
+    try:
+        spark.dataSource.register(RangeGenDataSource)
+    except Exception:
+        pass  # already registered in this session
+    stream = (
+        spark.readStream.format("rangegen")
+        .option("rowsPerBatch", 700)
+        .option("maxRows", 5000)
+        .option("rowsPerPartition", 1000)
+        .load()
+    )
+    agg = stream.groupBy("part").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("val"), 2).alias("sum_val"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )
+    return run_stream_to_memory(
+        spark, agg, name="pysource_stream_agg", output_mode="complete"
+    )
+
+
+_SQL_PYSOURCE_STREAM = """
+SELECT CAST(id // 1000 AS INT) AS part,
+       count(*) AS n,
+       round(sum((id * 7 % 1000) / 8.0), 2) AS sum_val,
+       min(id) AS min_id,
+       max(id) AS max_id
+FROM (SELECT range AS id FROM range(0, 5000))
+GROUP BY 1
+"""
+
+
 def ext14_queries() -> dict:
     return {
         "jdbc_source_agg": q_jdbc_source_agg,
@@ -562,6 +612,7 @@ def ext14_queries() -> dict:
         "sql_session_variables": q_sql_session_variables,
         "sql_lateral_alias": q_sql_lateral_alias,
         "sql_execute_immediate": q_sql_execute_immediate,
+        "pysource_stream_agg": q_pysource_stream_agg,
     }
 
 
@@ -580,4 +631,5 @@ def ext14_oracles() -> dict:
         "sql_session_variables": _SQL_SESSION_VARIABLES,
         "sql_lateral_alias": _SQL_LATERAL_ALIAS,
         "sql_execute_immediate": _SQL_EXECUTE_IMMEDIATE,
+        "pysource_stream_agg": _SQL_PYSOURCE_STREAM,
     }
