@@ -129,6 +129,7 @@ HEADLINE = [
     "eval_balanced_sample",
     "knn_graph_degree",
     "pysource_stream_agg",
+    "subset_incremental_delta",
 ]
 
 

@@ -197,7 +197,39 @@ class ClosureEngine:
         return keys
 
     # ------------------------------------------------------------------
+    def incremental_delta(
+        self,
+        existing: dict[str, DataFrame],
+        new_seed: dict[str, DataFrame],
+        exclude: set[str] | None = None,
+    ) -> dict[str, DataFrame]:
+        """Incremental subset refresh (the CDC shape of the reference's
+        job): given an already-CLOSED existing subset (key sets per
+        table) and a new batch of seed keys, return the per-table DELTA
+        key sets that must be added so that ``existing ∪ delta`` is
+        closed again.  The reference would re-run `create_row_in` per
+        new row with `_exists` skipping what the destination already
+        has; set-at-a-time that is: close the new seed over the FK
+        graph, then anti-join each table's closed keys against the
+        existing keys.
+
+        Scale shape: the closure runs ONLY on the new-seed key sets
+        (delta-sized, not table-sized); the anti-joins are key-set vs
+        key-set with the existing side as the build side.  Nothing in
+        the existing subset is re-read beyond its key columns.
+        """
+        closed = self.close_parents(new_seed, exclude=exclude)
+        delta: dict[str, DataFrame] = {}
+        for t, k in closed.items():
+            if t in existing:
+                kc = list(k.columns)
+                delta[t] = k.join(existing[t].select(*kc), on=kc, how="left_anti")
+            else:
+                delta[t] = k
+        return delta
+
     def pull_children(
+
         self,
         keys: dict[str, DataFrame],
         k: int,

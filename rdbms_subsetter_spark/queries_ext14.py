@@ -597,6 +597,79 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Incremental subset refresh (CDC shape of the reference's closure)
+# ---------------------------------------------------------------------------
+
+
+def q_subset_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental subset refresh: an existing subset (orders with
+    o_orderkey % 10 = 0, closed over customer→nation→region) receives a
+    new seed batch (o_orderkey % 10 = 5); the engine closes ONLY the new
+    seed over the FK graph and anti-joins against the existing key sets
+    — the set-at-a-time equivalent of re-running the reference's
+    `create_row_in` with `_exists` skipping already-inserted rows.
+    Returns per-table delta counts.
+
+    Scale shape: closure work ∝ delta size, never the subset size; the
+    anti-joins are key-set vs key-set.  Deterministic modulo predicates
+    (no rand) keep it hash-gradeable."""
+    from rdbms_subsetter_spark.closure import ClosureEngine
+
+    cat = Catalog(spark, sf_dir)
+    engine = ClosureEngine(cat)
+    orders_keys = cat["orders"].select("o_orderkey")
+    existing = engine.close_parents(
+        {"orders": orders_keys.where(F.col("o_orderkey") % 10 == 0)}
+    )
+    new_seed = {"orders": orders_keys.where(F.col("o_orderkey") % 10 == 5)}
+    delta = engine.incremental_delta(existing, new_seed)
+    counts = [
+        delta[t].agg(F.count(F.lit(1)).alias("n_new")).select(
+            F.lit(t).alias("table_name"), "n_new"
+        )
+        for t in sorted(delta)
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+_SQL_INCREMENTAL_DELTA = """
+WITH e_o AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 10 = 0),
+e_c AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+        WHERE o_orderkey % 10 = 0 AND o_custkey IS NOT NULL),
+e_n AS (SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+        WHERE c_custkey IN (SELECT c_custkey FROM e_c)
+          AND c_nationkey IS NOT NULL),
+e_r AS (SELECT DISTINCT n_regionkey AS r_regionkey FROM nation
+        WHERE n_nationkey IN (SELECT n_nationkey FROM e_n)
+          AND n_regionkey IS NOT NULL),
+n_o AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 10 = 5),
+n_c AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+        WHERE o_orderkey % 10 = 5 AND o_custkey IS NOT NULL
+        EXCEPT SELECT c_custkey FROM e_c),
+all_new_c AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+              WHERE o_orderkey % 10 = 5 AND o_custkey IS NOT NULL),
+n_n AS (SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+        WHERE c_custkey IN (SELECT c_custkey FROM all_new_c)
+          AND c_nationkey IS NOT NULL
+        EXCEPT SELECT n_nationkey FROM e_n),
+all_new_n AS (SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+              WHERE c_custkey IN (SELECT c_custkey FROM all_new_c)
+                AND c_nationkey IS NOT NULL),
+n_r AS (SELECT DISTINCT n_regionkey AS r_regionkey FROM nation
+        WHERE n_nationkey IN (SELECT n_nationkey FROM all_new_n)
+          AND n_regionkey IS NOT NULL
+        EXCEPT SELECT r_regionkey FROM e_r)
+SELECT 'customer' AS table_name, count(*) AS n_new FROM n_c
+UNION ALL SELECT 'nation', count(*) FROM n_n
+UNION ALL SELECT 'orders', count(*) FROM n_o
+UNION ALL SELECT 'region', count(*) FROM n_r
+"""
+
+
 def ext14_queries() -> dict:
     return {
         "jdbc_source_agg": q_jdbc_source_agg,
@@ -613,6 +686,7 @@ def ext14_queries() -> dict:
         "sql_lateral_alias": q_sql_lateral_alias,
         "sql_execute_immediate": q_sql_execute_immediate,
         "pysource_stream_agg": q_pysource_stream_agg,
+        "subset_incremental_delta": q_subset_incremental_delta,
     }
 
 
@@ -632,4 +706,5 @@ def ext14_oracles() -> dict:
         "sql_lateral_alias": _SQL_LATERAL_ALIAS,
         "sql_execute_immediate": _SQL_EXECUTE_IMMEDIATE,
         "pysource_stream_agg": _SQL_PYSOURCE_STREAM,
+        "subset_incremental_delta": _SQL_INCREMENTAL_DELTA,
     }

@@ -274,3 +274,33 @@ def test_schema_check_mismatch(spark, zcat, zeppelin_dir, tmp_path):
     partial = Catalog(spark, str(tmp_path), registry=zcat.registry, tables=["state"])
     with pytest.raises(ValueError, match="table sets differ"):
         zcat.schema_check(partial)
+
+def test_incremental_delta_disjoint_and_closed(spark, zcat):
+    """incremental_delta: delta keys are disjoint from the existing
+    subset, and existing ∪ delta is a closed subset (no FK violations) —
+    the refresh invariant the reference's `_exists` recursion gives."""
+    eng = ClosureEngine(zcat)
+    sightings = zcat["zeppelin_sighting"].select("sighting_id")
+    existing = eng.close_parents(
+        {"zeppelin_sighting": sightings.filter(F.col("sighting_id").isin([1000, 1002]))}
+    )
+    delta = eng.incremental_delta(
+        existing,
+        {"zeppelin_sighting": sightings.filter(F.col("sighting_id").isin([1003, 1004]))},
+    )
+    # disjoint per table
+    for t, d in delta.items():
+        if t in existing:
+            kc = list(d.columns)
+            assert d.join(existing[t].select(*kc), on=kc, how="left_semi").count() == 0, t
+    # union is closed
+    union = dict(existing)
+    for t, d in delta.items():
+        union[t] = union[t].unionByName(d).distinct() if t in union else d
+    rows = {t: eng.rows_for_keys(t, k) for t, k in union.items()}
+    assert_integrity(eng, rows)
+    # 1004 shares zeppelin 101 + landmark 10 with the existing subset:
+    # those parents must NOT reappear in the delta
+    new_zeps = {r["zeppelin_id"] for r in eng.rows_for_keys(
+        "zeppelin", delta["zeppelin"]).collect()}
+    assert new_zeps == {102}  # only sighting 1003's zeppelin is new
