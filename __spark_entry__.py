@@ -98,7 +98,7 @@ _CHANGED_THIS_ROUND = [
     "eval_balanced_sample", "knn_graph_degree", "sql_parameterized",
     "sql_identifier_clause", "sql_session_variables", "sql_lateral_alias",
     "sql_execute_immediate", "pysource_stream_agg",
-    "subset_incremental_delta",
+    "subset_incremental_delta", "ann_ivf_fixture",
 ]
 
 

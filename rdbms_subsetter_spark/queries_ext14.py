@@ -136,6 +136,45 @@ _SQL_SEMDEDUP_FIXTURE = "SELECT * FROM (VALUES {vals}) AS t(cell, n_vectors, n_k
 )
 
 
+# expected 2-NN per query from the brute-force float32-unit left-fold
+# mirror (tools/fixture_expectations.py::ivf_expect); with
+# n_probe == n_clusters IVF probes every cell, so the approximate
+# operator is provably exact on this fixture and a brute-force oracle
+# is valid.  Worst 6-dp rounding-boundary margin 1.9e-8 vs bit-identical
+# IEEE left folds on both sides.
+_IVF_EXPECT = [
+    (0, 1, 1.0, 1), (0, 2, 0.999999, 2),
+    (4, 5, 1.0, 1), (4, 7, 0.930535, 2),
+    (8, 11, 0.995417, 1), (8, 10, 0.977957, 2),
+]
+
+
+def q_ann_ivf_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k on the fixed 12-vector corpus with exhaustive probing
+    (n_probe = n_clusters) — the hash-graded twin of the rows-only
+    ``ann_ivf_topk`` entry.  Exercises the full operator (driver k-means
+    fit, Arrow-batched unit-vector cell assignment, broadcast probe
+    join, window top-k); exhaustive probes make it provably exact, so
+    the oracle is independent brute-force cosine."""
+    from rdbms_subsetter_spark.operators import similarity
+
+    emb = spark.createDataFrame(_SD_VECS, "vec_id long, embedding array<float>")
+    queries = emb.where(F.col("vec_id").isin(0, 4, 8))
+    return similarity.ivf_topk(
+        emb, queries, k=2, n_clusters=3, n_probe=3, seed=42
+    )
+
+
+_SQL_IVF_FIXTURE = (
+    "SELECT * FROM (VALUES {vals}) AS t(query_id, neighbor_id, cosine, rank)"
+).format(
+    vals=", ".join(
+        f"(CAST({q} AS BIGINT), CAST({n} AS BIGINT), CAST({c!r} AS DOUBLE), CAST({r} AS INT))"
+        for q, n, c, r in _IVF_EXPECT
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # Crawl-curation operators: per-source caps, paragraph dedup, corpus
 # overlap, balanced eval sampling, kNN graph
@@ -687,6 +726,7 @@ def ext14_queries() -> dict:
         "sql_execute_immediate": q_sql_execute_immediate,
         "pysource_stream_agg": q_pysource_stream_agg,
         "subset_incremental_delta": q_subset_incremental_delta,
+        "ann_ivf_fixture": q_ann_ivf_fixture,
     }
 
 
@@ -707,4 +747,5 @@ def ext14_oracles() -> dict:
         "sql_execute_immediate": _SQL_EXECUTE_IMMEDIATE,
         "pysource_stream_agg": _SQL_PYSOURCE_STREAM,
         "subset_incremental_delta": _SQL_INCREMENTAL_DELTA,
+        "ann_ivf_fixture": _SQL_IVF_FIXTURE,
     }

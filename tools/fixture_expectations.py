@@ -73,6 +73,41 @@ def semdedup_expect() -> list[tuple[int, int, int]]:
     return out
 
 
+def ivf_expect() -> list[tuple[int, int, float, int]]:
+    """Brute-force 2-NN of queries {0,4,8} over the fixture corpus:
+    float32-truncated unit vectors scored with a strict left-to-right
+    float64 fold — the same IEEE operation sequence as the operator's
+    ``dot`` column, so agreement is bit-exact, not approximate."""
+    from rdbms_subsetter_spark.queries_ext14 import _SD_VECS
+
+    ids = [i for i, _ in _SD_VECS]
+    mat = np.array([v for _, v in _SD_VECS], dtype=np.float64)
+    unit = (
+        (mat / np.linalg.norm(mat, axis=1, keepdims=True))
+        .astype(np.float32)
+        .astype(np.float64)
+    )
+
+    def leftfold(a, b) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    rows = []
+    for q in (0, 4, 8):
+        qi = ids.index(q)
+        cands = sorted(
+            (-round(leftfold(unit[qi], unit[j]), 6), nid)
+            for j, nid in enumerate(ids)
+            if nid != q
+        )
+        for rk, (negc, nid) in enumerate(cands[:2], start=1):
+            rows.append((q, nid, -negc, rk))
+    return rows
+
+
 if __name__ == "__main__":
     print("pagerank:", pagerank_expect())
     print("semdedup:", semdedup_expect())
+    print("ivf:", ivf_expect())
