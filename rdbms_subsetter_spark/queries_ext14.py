@@ -593,8 +593,10 @@ GROUP BY s_nationkey
 
 def q_pysource_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom Python STREAMING source (Spark 4 ``simpleStreamReader``):
-    the deterministic generator replayed as micro-batches (700 rows per
-    trigger until 5000), complete-mode per-part aggregate over the
+    the deterministic generator replayed as micro-batches (2500 rows per
+    trigger until 5000 — two genuine micro-batches; each batch costs
+    ~1 s of fixed micro-batch machinery locally, so batch count, not row
+    count, is the bench knob), complete-mode per-part aggregate over the
     bounded stream.  The offset log is plain dicts and
     ``readBetweenOffsets`` regenerates identical rows, so the replay
     equals the batch generator over [0, 5000) and the DuckDB
@@ -609,7 +611,7 @@ def q_pysource_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass  # already registered in this session
     stream = (
         spark.readStream.format("rangegen")
-        .option("rowsPerBatch", 700)
+        .option("rowsPerBatch", 2500)
         .option("maxRows", 5000)
         .option("rowsPerPartition", 1000)
         .load()
