@@ -99,6 +99,7 @@ _CHANGED_THIS_ROUND = [
     "sql_identifier_clause", "sql_session_variables", "sql_lateral_alias",
     "sql_execute_immediate", "pysource_stream_agg",
     "subset_incremental_delta", "ann_ivf_fixture",
+    "schema_evolution_agg", "nested_struct_ops", "json_struct_parse",
 ]
 
 

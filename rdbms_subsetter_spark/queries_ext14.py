@@ -711,6 +711,132 @@ UNION ALL SELECT 'region', count(*) FROM n_r
 """
 
 
+# ---------------------------------------------------------------------------
+# Schema evolution, nested struct surface, typed JSON structs
+# ---------------------------------------------------------------------------
+
+
+def q_schema_evolution_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet batches written with DIFFERENT
+    schemas (v2 adds a column) are read back as one table with
+    ``mergeSchema`` — rows from the old files surface NULL for the new
+    column.  The everyday lakehouse situation: a pipeline added a field
+    mid-stream and history must stay readable.
+
+    Scale note: mergeSchema=true costs a footer read per file at
+    planning; production pins the merged schema explicitly (as the
+    oracle here effectively does) once it stabilizes."""
+    import os
+    import tempfile
+
+    cat = Catalog(spark, sf_dir)
+    docs = cat["documents"]
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"rss_evolve_{abs(hash(sf_dir)) % 10**9}",
+    )
+    v1 = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "lang", "n_chars")
+    v2 = (
+        docs.where(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "lang", "n_chars")
+        .withColumn("quality_tier", (F.col("n_chars") > 500).cast("int"))
+    )
+    v1.write.mode("overwrite").parquet(f"{out}/batch=1")
+    v2.write.mode("overwrite").parquet(f"{out}/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(f"{out}/batch=1", f"{out}/batch=2")
+    return merged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("quality_tier").alias("n_with_tier"),
+        F.sum("quality_tier").alias("n_high_tier"),
+    )
+
+
+_SQL_SCHEMA_EVOLUTION = """
+SELECT lang, count(*) AS n_docs,
+       count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_with_tier,
+       CAST(sum(CASE WHEN doc_id % 2 = 1 AND n_chars > 500 THEN 1
+                     WHEN doc_id % 2 = 1 THEN 0 END) AS BIGINT) AS n_high_tier
+FROM documents
+GROUP BY lang
+"""
+
+
+def q_nested_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type surface: build array<struct> per user (each event as
+    a (ts, value) struct collected in event order), then take each
+    user's LAST event by ts via array sort + element_at — nested
+    construction, higher-order sort with a struct comparator lambda, and
+    dot-path field access, with a flat output for the hash gate.
+
+    Scale shape: one groupBy(user) shuffle; the per-user array is
+    bounded by per-user event counts (the sessionization assumption);
+    no window, no second shuffle."""
+    cat = Catalog(spark, sf_dir)
+    ev = cat["events"].select(
+        "user_id", F.struct(F.col("ts"), F.col("event_id"), F.col("value")).alias("s")
+    )
+    arr = ev.groupBy("user_id").agg(F.collect_list("s").alias("evs"))
+    last = F.element_at(
+        F.array_sort(
+            "evs",
+            lambda a, b: F.when(a["ts"] < b["ts"], -1)
+            .when(a["ts"] > b["ts"], 1)
+            .otherwise(
+                F.when(a["event_id"] < b["event_id"], -1)
+                .when(a["event_id"] > b["event_id"], 1)
+                .otherwise(0)
+            ),
+        ),
+        -1,
+    )
+    return arr.select(
+        "user_id",
+        F.size("evs").alias("n_events"),
+        last["event_id"].alias("last_event_id"),
+        F.round(last["value"], 2).alias("last_value"),
+    )
+
+
+_SQL_NESTED_STRUCT = """
+SELECT user_id, n_events, last_event_id, last_value FROM (
+  SELECT user_id, event_id AS last_event_id, round(value, 2) AS last_value,
+         count(*) OVER (PARTITION BY user_id) AS n_events,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+WHERE rn = 1
+"""
+
+
+def q_json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing: ``from_json`` with an explicit struct schema
+    (vs the stringly get_json_object path already covered) — the parse
+    happens once per row into a typed column, fields are then plain
+    columns for pushdown-friendly expressions.  Malformed documents
+    yield NULL fields (PERMISSIVE mode), counted explicitly."""
+    cat = Catalog(spark, sf_dir)
+    parsed = cat["events"].select(
+        "event_type",
+        F.from_json(F.col("props"), "k INT").alias("p"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("p.k").cast("bigint")).alias("sum_k"),
+        F.max("p.k").alias("max_k"),
+        F.count(F.when(F.col("p.k").isNull(), 1)).alias("n_null_k"),
+    )
+
+
+_SQL_JSON_STRUCT = """
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
+       max(CAST(props->>'$.k' AS INT)) AS max_k,
+       count(CASE WHEN props->>'$.k' IS NULL THEN 1 END) AS n_null_k
+FROM events
+GROUP BY event_type
+"""
+
+
 def ext14_queries() -> dict:
     return {
         "jdbc_source_agg": q_jdbc_source_agg,
@@ -729,6 +855,9 @@ def ext14_queries() -> dict:
         "pysource_stream_agg": q_pysource_stream_agg,
         "subset_incremental_delta": q_subset_incremental_delta,
         "ann_ivf_fixture": q_ann_ivf_fixture,
+        "schema_evolution_agg": q_schema_evolution_agg,
+        "nested_struct_ops": q_nested_struct_ops,
+        "json_struct_parse": q_json_struct_parse,
     }
 
 
@@ -750,4 +879,7 @@ def ext14_oracles() -> dict:
         "pysource_stream_agg": _SQL_PYSOURCE_STREAM,
         "subset_incremental_delta": _SQL_INCREMENTAL_DELTA,
         "ann_ivf_fixture": _SQL_IVF_FIXTURE,
+        "schema_evolution_agg": _SQL_SCHEMA_EVOLUTION,
+        "nested_struct_ops": _SQL_NESTED_STRUCT,
+        "json_struct_parse": _SQL_JSON_STRUCT,
     }
