@@ -92,7 +92,13 @@ _CHANGED_THIS_ROUND = [
     "json_variant_extract", "mixture_temperature_sample",
     "mixture_weighted_sample", "partitioned_source_prune",
     "range_join_price_bands", "text_source_agg", "tpch_priority_class",
-    # new in r03 — no driver verdict yet
+]
+
+# New in r03 — locally parity-verified at sf0.001 AND sf0.01 but no
+# driver verdict yet.  They grade AFTER the r01/r02 never-graded backlog
+# (the bounded window should clear the oldest debt first) and before
+# the greens.
+_NEW_R03 = [
     "jdbc_source_agg", "graph_pagerank_fixture", "dedup_semdedup_fixture",
     "docs_per_source_cap", "dedup_paragraph_exact", "corpus_overlap_jaccard",
     "eval_balanced_sample", "knn_graph_degree", "sql_parameterized",
@@ -105,17 +111,21 @@ _CHANGED_THIS_ROUND = [
 
 def _grading_order(names: list[str]) -> list[str]:
     """Priority for the driver's bounded grading window: changed oracles
-    first, then never-graded families the judge called out (UDF surface,
-    TPC-H remainder, SQL subqueries, streaming), then the rest of the
-    never-graded tail; already-green entries re-grade last."""
+    first, then the never-graded r01/r02 backlog in the families the
+    judge called out (UDF surface, TPC-H remainder, SQL subqueries,
+    streaming), then this round's new entries, then already-green
+    entries last."""
     green = set(_DRIVER_GREEN)
     changed = set(_CHANGED_THIS_ROUND)
+    new_r03 = set(_NEW_R03)
 
     def bucket(n: str) -> int:
         if n in changed:
             return 0
         if n in green:
             return 9  # already green — re-grade last
+        if n in new_r03:
+            return 6  # after the older never-graded backlog
         if n.startswith(("udf_", "udtf_")):
             return 1
         if n.startswith("tpch_"):
