@@ -130,6 +130,7 @@ HEADLINE = [
     "knn_graph_degree",
     "pysource_stream_agg",
     "subset_incremental_delta",
+    "multimodal_real_roundtrip",
 ]
 
 

@@ -837,6 +837,47 @@ GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# REAL multimodal decode (pure-stdlib codecs, executes everywhere)
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode, no gate: deterministic PNG/WAV/PPM payloads
+    are ENCODED for real (zlib IDAT, RIFF container, P6), then sniffed
+    by magic bytes and DECODED for real (inflate + PNG filter
+    reconstruction, PCM sample parse) in one Arrow-batched pass; the
+    decoded statistics are checked against the closed-form content the
+    generator used.  Unlike the PIL-gated path (jpeg/webp — libs absent
+    here), this branch executes in any environment, so the decode
+    contract is hash-graded, not simulated.
+
+    Scale shape: payload bytes stay columnar; encode and decode are
+    each ONE mapInPandas scan; stats computed in the same batch as the
+    decode (decode once, stat once)."""
+    from rdbms_subsetter_spark.operators import multimodal as mm
+
+    cat = Catalog(spark, sf_dir)
+    media = mm.synth_real_media(cat["documents"])
+    return mm.real_roundtrip_decode(media)
+
+
+_SQL_REAL_ROUNDTRIP = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'ppm' END AS kind,
+       CASE doc_id % 3 WHEN 0 THEN CAST(16 + doc_id % 16 AS INT)
+                       WHEN 2 THEN CAST(12 + doc_id % 12 AS INT) END AS width,
+       CASE doc_id % 3 WHEN 0 THEN CAST(8 + doc_id % 8 AS INT)
+                       WHEN 2 THEN CAST(6 + doc_id % 6 AS INT) END AS height,
+       CASE doc_id % 3 WHEN 1 THEN CAST(1000 + doc_id % 500 AS INT) END AS n_samples,
+       CASE doc_id % 3 WHEN 1 THEN CAST(8000 AS INT) END AS sample_rate,
+       CASE doc_id % 3 WHEN 0 THEN CAST(doc_id % 256 AS DOUBLE)
+                       WHEN 2 THEN CAST(doc_id % 256 AS DOUBLE) END AS pixel_mean,
+       CASE doc_id % 3 WHEN 1 THEN CAST(doc_id % 1000 AS DOUBLE) END AS audio_rms
+FROM documents
+"""
+
+
 def ext14_queries() -> dict:
     return {
         "jdbc_source_agg": q_jdbc_source_agg,
@@ -858,6 +899,7 @@ def ext14_queries() -> dict:
         "schema_evolution_agg": q_schema_evolution_agg,
         "nested_struct_ops": q_nested_struct_ops,
         "json_struct_parse": q_json_struct_parse,
+        "multimodal_real_roundtrip": q_multimodal_real_roundtrip,
     }
 
 
@@ -882,4 +924,5 @@ def ext14_oracles() -> dict:
         "schema_evolution_agg": _SQL_SCHEMA_EVOLUTION,
         "nested_struct_ops": _SQL_NESTED_STRUCT,
         "json_struct_parse": _SQL_JSON_STRUCT,
+        "multimodal_real_roundtrip": _SQL_REAL_ROUNDTRIP,
     }
