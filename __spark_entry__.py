@@ -106,7 +106,7 @@ _NEW_R03 = [
     "sql_execute_immediate", "pysource_stream_agg",
     "subset_incremental_delta", "ann_ivf_fixture",
     "schema_evolution_agg", "nested_struct_ops", "json_struct_parse",
-    "multimodal_real_roundtrip",
+    "multimodal_real_roundtrip", "hybrid_search_rrf",
 ]
 
 

@@ -131,6 +131,7 @@ HEADLINE = [
     "pysource_stream_agg",
     "subset_incremental_delta",
     "multimodal_real_roundtrip",
+    "hybrid_search_rrf",
 ]
 
 

@@ -878,6 +878,151 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 ⊕ vector ranks fused with RRF
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_HY_TERMS = ["spark", "query", "window"]
+
+
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — THE modern RAG pattern: a lexical ranking
+    (BM25 over fixed query terms) and a semantic ranking (cosine to a
+    fixed query vector, here doc 0's embedding) fused with Reciprocal
+    Rank Fusion: score = Σ 1/(k + rank), k=60.  Ranks are taken on
+    engine-rounded scores with id tiebreaks so both engines agree on
+    every rank, making the fusion hash-exact.
+
+    Scale shape: each ranking is the already-graded machinery (BM25 =
+    map-side tf/dl + broadcast df; cosine = one scan against a 1-row
+    broadcast query vector); each list is cut to its top-100 with
+    orderBy().limit() — TakeOrderedAndProject, a distributed partial
+    top-k, NEVER a global single-task rank window over the corpus —
+    and rank assignment then runs on the bounded 100-row frames.
+    Fusion is a full-outer join of two thin (id, rank) relations.
+    Docs outside both top-100s contribute 0, the standard production
+    RRF cut."""
+    from pyspark.sql import Window
+
+    from rdbms_subsetter_spark.operators.similarity import dot, norm
+
+    cat = Catalog(spark, sf_dir)
+    # --- lexical: BM25 ranks ---
+    toks = cat["documents"].select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dlen").alias("avgdl"))
+    qtoks = toks.filter(F.col("term").isin(_HY_TERMS))
+    tf = qtoks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = qtoks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    score = idf * (
+        F.col("tf") * 2.2
+        / (F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dlen") / F.col("avgdl")))
+    )
+    bm25 = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(score), 4).alias("bm25"))
+    )
+    w_lex = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex_rank = (
+        bm25.orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(100)  # TakeOrderedAndProject: bounded before any window
+        .select("doc_id", "bm25", F.row_number().over(w_lex).alias("lex_rank"))
+        .drop("bm25")
+    )
+
+    # --- semantic: cosine ranks against doc 0's embedding ---
+    emb = cat["embeddings"]
+    qvec = F.broadcast(
+        emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    )
+    cos = F.round(
+        dot(F.col("embedding"), F.col("q_emb"))
+        / (norm(F.col("embedding")) * norm(F.col("q_emb"))),
+        6,
+    )
+    scored = emb.crossJoin(qvec).select(
+        F.col("vec_id").alias("doc_id"), cos.alias("cos")
+    )
+    w_sem = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
+    sem_rank = (
+        scored.orderBy(F.desc("cos"), F.asc("doc_id"))
+        .limit(100)
+        .select("doc_id", "cos", F.row_number().over(w_sem).alias("sem_rank"))
+        .drop("cos")
+    )
+
+    # --- fusion ---
+    fused = (
+        lex_rank.join(sem_rank, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("sem_rank")), F.lit(0.0))
+            ).alias("rrf_raw"),
+            "lex_rank",
+            "sem_rank",
+        )
+        .select(
+            "doc_id",
+            F.round("rrf_raw", 6).alias("rrf"),
+            "lex_rank",
+            "sem_rank",
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(20)
+
+
+_SQL_HYBRID_RRF = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), dl AS (SELECT doc_id, count(*) AS dlen FROM toks GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dlen) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('spark', 'query', 'window') GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       WHERE term IN ('spark', 'query', 'window') GROUP BY 1),
+bm25 AS (
+  SELECT doc_id,
+         round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * tf * 2.2
+                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dlen / avgdl))), 4) AS bm25
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY doc_id),
+lex AS (SELECT doc_id, lex_rank FROM (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+          FROM bm25) WHERE lex_rank <= 100),
+qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+sem AS (
+  SELECT doc_id, sem_rank FROM (
+    SELECT vec_id AS doc_id,
+           row_number() OVER (
+             ORDER BY round(list_dot_product(embedding, (SELECT q FROM qv))
+                      / (sqrt(list_dot_product(embedding, embedding))
+                         * sqrt(list_dot_product((SELECT q FROM qv), (SELECT q FROM qv)))), 6)
+             DESC, vec_id) AS sem_rank
+    FROM embeddings) WHERE sem_rank <= 100),
+fused AS (
+  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+         round(coalesce(1.0 / (60 + lex_rank), 0.0)
+               + coalesce(1.0 / (60 + sem_rank), 0.0), 6) AS rrf,
+         lex_rank, sem_rank
+  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+SELECT doc_id, rrf, lex_rank, sem_rank
+FROM fused ORDER BY rrf DESC, doc_id LIMIT 20
+"""
+
+
 def ext14_queries() -> dict:
     return {
         "jdbc_source_agg": q_jdbc_source_agg,
@@ -900,6 +1045,7 @@ def ext14_queries() -> dict:
         "nested_struct_ops": q_nested_struct_ops,
         "json_struct_parse": q_json_struct_parse,
         "multimodal_real_roundtrip": q_multimodal_real_roundtrip,
+        "hybrid_search_rrf": q_hybrid_search_rrf,
     }
 
 
@@ -925,4 +1071,5 @@ def ext14_oracles() -> dict:
         "nested_struct_ops": _SQL_NESTED_STRUCT,
         "json_struct_parse": _SQL_JSON_STRUCT,
         "multimodal_real_roundtrip": _SQL_REAL_ROUNDTRIP,
+        "hybrid_search_rrf": _SQL_HYBRID_RRF,
     }
