@@ -214,6 +214,7 @@ _BNLJ_ALLOWED = {
     "tfidf_bm25",                  # 1-row corpus doc-count aggregate
     "tpch_idle_customers",         # 1-row global avg(acctbal) (Q22 shape)
     "tpch_important_parts",        # 1-row grand-total sum (Q11 shape)
+    "hybrid_search_rrf",           # 1-row BM25 stats agg + 1-row query vector
 }
 
 
