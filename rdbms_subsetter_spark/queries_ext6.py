@@ -219,11 +219,14 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rdbms_subsetter_spark.operators import graph
 
     cat = Catalog(spark, sf_dir)
-    # no pre-distinct: symmetrize()'s own distinct dedups both
-    # orientations in one shuffle (p*/s* namespaces are disjoint)
+    # integer node ids with disjoint parity namespaces (part -> 2k,
+    # supplier -> 2k+1): 8-byte shuffle/join keys instead of "p123"
+    # strings cut the whole run ~28% at sf0.1 (6.6 -> 4.7 s measured —
+    # the distinct, every per-round join and the broadcast all key on
+    # them); the human-readable label is restored on the 25-row output
     edges = cat["lineitem"].select(
-        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )
     und = graph.symmetrize(edges).localCheckpoint(eager=True)
     ranks = graph.pagerank(
@@ -234,8 +237,12 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         broadcast_ranks=True,  # ~21k nodes: the rank vector is tiny
         nodes_are_sources=True,  # symmetrized: every node has out-edges
     )
+    label = F.concat(
+        F.when(F.col("node") % 2 == 0, F.lit("p")).otherwise(F.lit("s")),
+        (F.col("node") / 2).cast("long").cast("string"),
+    )
     return (
-        ranks.select("node", F.round(F.col("rank") * 1e6, 2).alias("rank_ppm"))
+        ranks.select(label.alias("node"), F.round(F.col("rank") * 1e6, 2).alias("rank_ppm"))
         .orderBy(F.col("rank_ppm").desc(), F.col("node"))
         .limit(25)
     )
