@@ -1,12 +1,16 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns
 with typed metadata.
 
-The container has no image/audio libraries, so the *decode* step is a
-clearly-marked deterministic fake (see ``FAKE_DECODE``) — but the
-Spark-side plumbing is real and tested: schema, Arrow batch shape,
-``mapInPandas`` partition flow, and the metadata extraction that does
-NOT need decoding (byte length, content hash) runs as pure JVM column
-expressions.
+Three decode tiers: (1) the REAL pure-stdlib path (``synth_real_media``
+/ ``real_roundtrip_decode`` + ``media_codecs``) — PNG zlib inflation
+with full filter reconstruction, RIFF/WAV PCM parsing, PPM — which
+executes in ANY environment and is hash-graded; (2) the PIL-backed
+branch for formats that need native decoders (jpeg/webp), gated on
+pillow being importable; (3) the deterministic fake (``FAKE_DECODE``)
+kept as the engine-portable oracle path for the geometry-only entries.
+The Spark-side plumbing is identical for all three: schema, Arrow batch
+shape, ``mapInPandas`` partition flow; metadata that needs no decoding
+(byte length, content hash) runs as pure JVM column expressions.
 
 At 100 TB the pattern is: binary payloads stay columnar in parquet;
 narrow metadata is extracted once into sibling columns; per-batch

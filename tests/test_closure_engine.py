@@ -304,3 +304,37 @@ def test_incremental_delta_disjoint_and_closed(spark, zcat):
     new_zeps = {r["zeppelin_id"] for r in eng.rows_for_keys(
         "zeppelin", delta["zeppelin"]).collect()}
     assert new_zeps == {102}  # only sighting 1003's zeppelin is new
+
+
+def test_compound_fk_closure(spark, tmp_path):
+    """Multi-column FK edges close correctly (the registry and engine
+    carry column TUPLES; single-column testdata never exercises it)."""
+    from rdbms_subsetter_spark.constraints import ConstraintRegistry, ForeignKey
+
+    parent = spark.createDataFrame(
+        [(1, "a", 10.0), (1, "b", 20.0), (2, "a", 30.0), (2, "b", 40.0)],
+        "region long, code string, v double",
+    )
+    child = spark.createDataFrame(
+        [(100, 1, "a"), (101, 1, "a"), (102, 2, "b"), (103, None, None)],
+        "id long, p_region long, p_code string",
+    )
+    parent.write.parquet(str(tmp_path / "parent.parquet"))
+    child.write.parquet(str(tmp_path / "child.parquet"))
+    reg = ConstraintRegistry(
+        pks={"parent": ("region", "code"), "child": ("id",)},
+        fks=[ForeignKey("child", ("p_region", "p_code"), "parent", ("region", "code"))],
+    )
+    cat = Catalog(spark, str(tmp_path), registry=reg)
+    eng = ClosureEngine(cat)
+    keys = eng.close_parents(
+        {"child": cat["child"].where(F.col("id").isin(100, 102, 103)).select("id")}
+    )
+    got = sorted(
+        (r["region"], r["code"])
+        for r in eng.rows_for_keys("parent", keys["parent"]).collect()
+    )
+    # 100 -> (1,a); 102 -> (2,b); 103 has NULL fk cols -> contributes nothing
+    assert got == [(1, "a"), (2, "b")]
+    rows = {t: eng.rows_for_keys(t, k) for t, k in keys.items()}
+    assert_integrity(eng, rows)
