@@ -132,6 +132,7 @@ HEADLINE = [
     "subset_incremental_delta",
     "multimodal_real_roundtrip",
     "hybrid_search_rrf",
+    "streaming_stream_join_outer",
 ]
 
 

@@ -1023,6 +1023,38 @@ FROM fused ORDER BY rrf DESC, doc_id LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# Streaming left-outer stream-stream join (state-eviction emission)
+# ---------------------------------------------------------------------------
+
+
+def q_streaming_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See streaming.events.streaming_stream_join_outer: watermark-
+    evicted null extensions restricted to the provably-complete region
+    (click_ts < least(max_click, max_purchase) − 2 h − 1 s), hash-checked against a batch LEFT JOIN
+    over the same region."""
+    from rdbms_subsetter_spark.streaming.events import streaming_stream_join_outer
+
+    return streaming_stream_join_outer(spark, sf_dir)
+
+
+_SQL_STREAM_JOIN_OUTER = """
+WITH mx AS (SELECT least(
+    (SELECT max(ts) FROM events WHERE event_type = 'click'),
+    (SELECT max(ts) FROM events WHERE event_type = 'purchase')) AS m),
+c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+        AND ts < (SELECT m FROM mx) - INTERVAL 2 HOUR - INTERVAL 1 SECOND),
+p AS (SELECT user_id AS p_user_id, event_id AS purchase_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase')
+SELECT c.user_id, c.click_id, p.purchase_id, c.click_ts, p.purchase_ts
+FROM c LEFT JOIN p
+  ON c.user_id = p.p_user_id
+ AND p.purchase_ts >= c.click_ts
+ AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+"""
+
+
 def ext14_queries() -> dict:
     return {
         "jdbc_source_agg": q_jdbc_source_agg,
@@ -1046,6 +1078,7 @@ def ext14_queries() -> dict:
         "json_struct_parse": q_json_struct_parse,
         "multimodal_real_roundtrip": q_multimodal_real_roundtrip,
         "hybrid_search_rrf": q_hybrid_search_rrf,
+        "streaming_stream_join_outer": q_streaming_stream_join_outer,
     }
 
 
@@ -1072,4 +1105,5 @@ def ext14_oracles() -> dict:
         "json_struct_parse": _SQL_JSON_STRUCT,
         "multimodal_real_roundtrip": _SQL_REAL_ROUNDTRIP,
         "hybrid_search_rrf": _SQL_HYBRID_RRF,
+        "streaming_stream_join_outer": _SQL_STREAM_JOIN_OUTER,
     }

@@ -485,3 +485,68 @@ def streaming_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(
         spark, agg, name="stream_curation_funnel", output_mode="complete"
     )
+
+
+def streaming_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: clicks joined to same-user
+    purchases within the following hour; clicks with NO purchase emit a
+    null-extended row once the watermark passes their join window (state
+    eviction is the emission trigger — the semantics inner joins never
+    exercise).
+
+    Determinism under bounded replay: the GLOBAL watermark is the min
+    over both inputs' per-stream watermarks — least(max click_ts, max
+    purchase_ts) − 1 h — so null rows are guaranteed emitted exactly
+    for clicks whose join window closed before it.  The result is
+    restricted to that fully-determined region, click_ts <
+    least(max_c, max_p) − 2 h − 1 s (driver scalars from the static
+    table; the extra second covers Spark's millisecond watermark
+    truncation and eviction-compare strictness): inside it, every match
+    AND every null-extension has provably been emitted, making the
+    output equal to a batch LEFT JOIN over the same region —
+    hash-checkable.  At scale the cut is exactly the "completed region"
+    a production job would publish downstream; the tail stays in state.
+    """
+    from rdbms_subsetter_spark.catalog import Catalog
+
+    cat = Catalog(spark, sf_dir)
+    ev = cat["events"]
+    max_c = ev.filter(F.col("event_type") == "click").agg(F.max("ts")).collect()[0][0]
+    max_p = ev.filter(F.col("event_type") == "purchase").agg(F.max("ts")).collect()[0][0]
+    wm_base = min(max_c, max_p)
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND "
+            "purchase_ts >= click_ts AND "
+            "purchase_ts <= click_ts + INTERVAL 1 HOUR"
+        ),
+        "left_outer",
+    ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
+    out = run_stream_to_memory(
+        spark, joined, name="stream_stream_join_outer", output_mode="append"
+    )
+    return out.filter(
+        F.col("click_ts")
+        < F.lit(wm_base) - F.expr("INTERVAL 2 HOUR") - F.expr("INTERVAL 1 SECOND")
+    ).orderBy("click_id", "purchase_id")
