@@ -157,12 +157,17 @@ def main() -> None:
     # number (GC pauses / concurrent load only ever add time)
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for _ in range(repeats):
         for name in HEADLINE:
             fn = qs[name]
             t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
+            try:
+                df = fn(spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # one broken query must not void the run
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                continue
             elapsed = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, elapsed), elapsed)
 
@@ -179,6 +184,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "errors": errors,
         "sf": float(sf),
     }
     with open(REPO / "BENCH_DETAIL.json", "w") as f:
@@ -190,6 +196,7 @@ def main() -> None:
         "unit": "sec",
         "sf": float(sf),
         "n_queries": len(timings),
+        "n_errors": len(errors),
         "queries_file": "BENCH_DETAIL.json",
         "queries": {},
     }
