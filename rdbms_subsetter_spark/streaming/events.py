@@ -87,20 +87,38 @@ def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
 
 
 def run_stream_to_memory(
-    spark: SparkSession, agg: DataFrame, name: str, output_mode: str = "append"
+    spark: SparkSession,
+    agg: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    state_partitions: int = 8,
 ) -> DataFrame:
     """Drive a bounded stream to completion synchronously and return
-    the materialized sink table (local smoke-test harness)."""
-    q = (
-        agg.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    the materialized sink table (local smoke-test harness).
+
+    Streaming state partitioning is fixed at the query's first
+    checkpoint and should be sized to state volume, not inherited from
+    the batch shuffle width: every stateful operator maintains one or
+    more state stores PER PARTITION per micro-batch, and the store
+    open/commit overhead dominates small-state local runs (measured 3x
+    on the outer interval join: 32 partitions 9 s -> 8 partitions 4 s
+    at sf0.1).  Results are partitioning-independent; the session conf
+    is restored after the query starts planning."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q.processAllAvailable()
+        q = (
+            agg.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.sql(f"SELECT * FROM {name}")
 
 
@@ -543,21 +561,9 @@ def streaming_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "left_outer",
     ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
-    # streaming state partitioning is fixed at the query's first
-    # checkpoint and should be sized to state volume, NOT inherited from
-    # batch shuffle sizing: an outer interval join maintains 4 state
-    # stores per partition across every micro-batch, so 32 batch
-    # partitions cost ~3x the wall time of 8 here (9 s -> 4 s at sf0.1).
-    # Production sizes this per expected key cardinality; restore the
-    # session value afterwards.
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        out = run_stream_to_memory(
-            spark, joined, name="stream_stream_join_outer", output_mode="append"
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    out = run_stream_to_memory(
+        spark, joined, name="stream_stream_join_outer", output_mode="append"
+    )
     return out.filter(
         F.col("click_ts")
         < F.lit(wm_base) - F.expr("INTERVAL 2 HOUR") - F.expr("INTERVAL 1 SECOND")
