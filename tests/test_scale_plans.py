@@ -236,3 +236,50 @@ def test_no_cartesian_product_anywhere(name, fn, spark):
             f"{name}: unexpected BroadcastNestedLoopJoin (allowlist it only "
             "if the broadcast side is bounded by construction)"
         )
+
+
+def test_per_source_cap_uses_window_group_limit(spark):
+    """The top-5-per-source cut must prune pre-shuffle: WindowGroupLimit
+    forwards at most 5 candidates per (task, source)."""
+    from rdbms_subsetter_spark.queries_ext14 import q_docs_per_source_cap
+
+    plan = physical_plan(q_docs_per_source_cap(spark, SF_SMALL), "simple")
+    assert "WindowGroupLimit" in plan and ", Partial" in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_eval_balanced_sample_uses_window_group_limit(spark):
+    from rdbms_subsetter_spark.queries_ext14 import q_eval_balanced_sample
+
+    plan = physical_plan(q_eval_balanced_sample(spark, SF_SMALL), "simple")
+    assert "WindowGroupLimit" in plan
+
+
+def test_paragraph_dedup_single_scan_no_owner_broadcast(spark):
+    """One corpus scan/explode; ownership via window — the corpus-scale
+    owner relation must never appear as a broadcast join side."""
+    from rdbms_subsetter_spark.queries_ext14 import q_dedup_paragraph_exact
+
+    plan = physical_plan(q_dedup_paragraph_exact(spark, SF_SMALL), "simple")
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Generate") == 1  # one explode
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_hybrid_rrf_rankings_are_take_ordered(spark):
+    """Both ranking lists must cut via TakeOrderedAndProject (distributed
+    partial top-k), never a global sort of the corpus."""
+    from rdbms_subsetter_spark.queries_ext14 import q_hybrid_search_rrf
+
+    plan = physical_plan(q_hybrid_search_rrf(spark, SF_SMALL), "simple")
+    assert plan.count("TakeOrderedAndProject") >= 2
+
+
+def test_incremental_delta_closure_is_semi_anti_joins(spark):
+    """Delta closure = semi-joins up the FK chain + anti-joins against
+    the existing key sets; no inner row-level joins of full tables."""
+    from rdbms_subsetter_spark.queries_ext14 import q_subset_incremental_delta
+
+    plan = physical_plan(q_subset_incremental_delta(spark, SF_SMALL), "simple")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
