@@ -107,7 +107,8 @@ _NEW_R03 = [
     "subset_incremental_delta", "ann_ivf_fixture",
     "schema_evolution_agg", "nested_struct_ops", "json_struct_parse",
     "multimodal_real_roundtrip", "hybrid_search_rrf",
-    "streaming_stream_join_outer",
+    "streaming_stream_join_outer", "udtf_dynamic_schema",
+    "sessionize_dynamic_gap",
 ]
 
 

@@ -133,6 +133,8 @@ HEADLINE = [
     "multimodal_real_roundtrip",
     "hybrid_search_rrf",
     "streaming_stream_join_outer",
+    "udtf_dynamic_schema",
+    "sessionize_dynamic_gap",
 ]
 
 

@@ -1055,6 +1055,123 @@ FROM c LEFT JOIN p
 """
 
 
+# ---------------------------------------------------------------------------
+# Spark 4 dynamic-schema UDTF (analyze()) + dynamic-gap session windows
+# ---------------------------------------------------------------------------
+
+_UDTF_K = 3
+
+
+def q_udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF with a static ``analyze()`` method (Spark 4): the
+    OUTPUT SCHEMA is computed from the call's literal argument at plan
+    time — here ``split_first_k(3, text)`` resolves to columns
+    part_0..part_2 before any data moves.  The dynamic-schema hook is
+    what lets one UDTF serve pivots/parsers whose width is a parameter.
+    Aggregated per leading token to keep the gate output small."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class SplitFirstK:
+        @staticmethod
+        def analyze(n: AnalyzeArgument, s: AnalyzeArgument) -> AnalyzeResult:
+            return AnalyzeResult(
+                StructType(
+                    [StructField(f"part_{i}", StringType()) for i in range(n.value)]
+                )
+            )
+
+        def eval(self, n, s):
+            parts = (s or "").split(" ")
+            yield tuple(
+                (parts[i] if i < len(parts) else None) for i in range(n)
+            )
+
+    cat = Catalog(spark, sf_dir)
+    view = _scoped_view(spark, cat["documents"], "udtf_docs", sf_dir)
+    spark.udtf.register("split_first_k", SplitFirstK)
+    try:
+        return spark.sql(
+            f"""
+            SELECT t.part_0 AS first_tok,
+                   count(*) AS n_docs,
+                   count(t.part_{_UDTF_K - 1}) AS n_full_width
+            FROM {view} d, LATERAL split_first_k({_UDTF_K}, d.text) t
+            GROUP BY t.part_0
+            """
+        )
+    finally:
+        spark.catalog.dropTempView(view)
+
+
+_SQL_UDTF_DYNAMIC = """
+SELECT split_part(text, ' ', 1) AS first_tok,
+       count(*) AS n_docs,
+       count(nullif(split_part(text, ' ', 3), '')) AS n_full_width
+FROM documents
+GROUP BY 1
+"""
+
+
+def q_sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a DYNAMIC gap (Spark's session_window with a
+    column expression): purchase events close sessions faster (10 min)
+    than browsing events (30 min) — per-event inactivity timeouts, the
+    realistic sessionization rule.  Batch mode; the oracle replays the
+    merge rule as a running-max gaps-and-islands pass (a new session
+    starts when an event's ts exceeds every previous event's ts+gap)."""
+    cat = Catalog(spark, sf_dir)
+    gap = F.when(F.col("event_type") == "purchase", F.lit("10 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    return (
+        cat["events"]
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_SQL_SESSION_DYNAMIC = """
+WITH ev AS (
+  SELECT user_id, ts, value,
+         ts + CASE WHEN event_type = 'purchase'
+                   THEN INTERVAL 10 MINUTE ELSE INTERVAL 30 MINUTE END AS ev_end
+  FROM events),
+marked AS (
+  SELECT user_id, ts, value, ev_end,
+         CASE WHEN ts > max(ev_end) OVER (
+                PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              OR row_number() OVER (PARTITION BY user_id ORDER BY ts) = 1
+              THEN 1 ELSE 0 END AS is_new
+  FROM ev),
+islands AS (
+  SELECT user_id, ts, value, ev_end,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked)
+SELECT min(ts) AS session_start,
+       max(ev_end) AS session_end,
+       user_id,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM islands
+GROUP BY user_id, sid
+"""
+
+
 def ext14_queries() -> dict:
     return {
         "jdbc_source_agg": q_jdbc_source_agg,
@@ -1079,6 +1196,8 @@ def ext14_queries() -> dict:
         "multimodal_real_roundtrip": q_multimodal_real_roundtrip,
         "hybrid_search_rrf": q_hybrid_search_rrf,
         "streaming_stream_join_outer": q_streaming_stream_join_outer,
+        "udtf_dynamic_schema": q_udtf_dynamic_schema,
+        "sessionize_dynamic_gap": q_sessionize_dynamic_gap,
     }
 
 
@@ -1106,4 +1225,6 @@ def ext14_oracles() -> dict:
         "multimodal_real_roundtrip": _SQL_REAL_ROUNDTRIP,
         "hybrid_search_rrf": _SQL_HYBRID_RRF,
         "streaming_stream_join_outer": _SQL_STREAM_JOIN_OUTER,
+        "udtf_dynamic_schema": _SQL_UDTF_DYNAMIC,
+        "sessionize_dynamic_gap": _SQL_SESSION_DYNAMIC,
     }
