@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="tables copied at 100%%")
     p.add_argument("--exclude-tables", nargs="*", default=[],
                    help="tables excluded entirely")
+    p.add_argument("--schema", default=None,
+                   help="named schema: tables live under SOURCE/SCHEMA and "
+                        "are written under DEST/SCHEMA (the reference's "
+                        "--schema reflection scope, mapped to directories)")
     p.add_argument("--seed", type=int, default=42, help="sampling seed")
     p.add_argument("-y", "--yes", action="store_true",
                    help="skip the confirm prompt")
@@ -93,8 +97,12 @@ def main(argv: list[str] | None = None) -> int:
         write_subset,
     )
 
+    import os
+
     spark = get_spark("rdbms_subsetter_spark.cli")
-    cat = Catalog(spark, args.source)
+    source = os.path.join(args.source, args.schema) if args.schema else args.source
+    dest = os.path.join(args.dest, args.schema) if args.schema else args.dest
+    cat = Catalog(spark, source)
     if args.config:
         # config AUGMENTS the built-in registry with pseudo-FKs, like the
         # reference merges --config constraints onto Inspector output
@@ -127,9 +135,9 @@ def main(argv: list[str] | None = None) -> int:
     eng = ClosureEngine(cat)
     result = eng.create_subset(plan, seeds=seeds or None,
                                child_pull_rounds=args.child_pull_rounds)
-    order = write_subset(result.rows, cat.registry, args.dest)
+    order = write_subset(result.rows, cat.registry, dest)
 
-    out_cat = Catalog(spark, args.dest, registry=cat.registry, tables=order)
+    out_cat = Catalog(spark, dest, registry=cat.registry, tables=order)
     viol = eng.integrity_violations({t: out_cat[t] for t in order})
     bad = {e: v for e, v in viol.items() if v}
     for table in order:

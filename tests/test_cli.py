@@ -133,3 +133,26 @@ def test_jdbc_roundtrip_smoke(spark, tmp_path):
     orig = {r["n_nationkey"]: r["n_name"] for r in nation.collect()}
     got = {r["n_nationkey"]: r["n_name"] for r in back.collect()}
     assert got == orig
+
+
+def test_cli_schema_scoping(spark, tmp_path):
+    """--schema selects SOURCE/SCHEMA and writes DEST/SCHEMA — the
+    directory mapping of the reference's named-schema reflection."""
+    import shutil
+
+    from rdbms_subsetter_spark.cli import main
+    from tests.conftest import SF_SMALL
+
+    src = tmp_path / "src" / "analytics"
+    src.mkdir(parents=True)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        shutil.copy(f"{SF_SMALL}/{t}.parquet", str(src / f"{t}.parquet"))
+    dest = tmp_path / "dst"
+    rc = main([str(tmp_path / "src"), str(dest), "0.2",
+               "--schema", "analytics", "--seed", "7", "-y"])
+    assert rc == 0
+    out = dest / "analytics"
+    assert (out / "region.parquet").exists()
+    n = spark.read.parquet(str(out / "orders.parquet")).count()
+    assert n > 0
