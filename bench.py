@@ -135,6 +135,7 @@ HEADLINE = [
     "streaming_stream_join_outer",
     "udtf_dynamic_schema",
     "sessionize_dynamic_gap",
+    "streaming_chained_agg",
 ]
 
 

@@ -1172,6 +1172,35 @@ GROUP BY user_id, sid
 """
 
 
+def q_streaming_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See streaming.events.streaming_chained_agg: two chained stateful
+    window aggregations (hourly → daily) in ONE streaming query,
+    restricted to the watermark-determinate region ≡ the batch
+    hourly→daily rollup."""
+    from rdbms_subsetter_spark.streaming.events import streaming_chained_agg
+
+    return streaming_chained_agg(spark, sf_dir)
+
+
+_SQL_CHAINED_AGG = """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+hourly AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS h, event_type,
+         count(*) AS n, sum(value) AS v
+  FROM events GROUP BY 1, 2),
+daily AS (
+  SELECT time_bucket(INTERVAL 1 DAY, h) AS day_start, event_type,
+         CAST(sum(n) AS BIGINT) AS n_events,
+         count(*) AS n_active_hours,
+         round(sum(v), 2) AS sum_value
+  FROM hourly GROUP BY 1, 2)
+SELECT day_start, event_type, n_events, n_active_hours, sum_value
+FROM daily
+WHERE day_start + INTERVAL 1 DAY <
+      (SELECT m FROM mx) - INTERVAL 1 HOUR - INTERVAL 1 SECOND
+"""
+
+
 def ext14_queries() -> dict:
     return {
         "jdbc_source_agg": q_jdbc_source_agg,
@@ -1198,6 +1227,7 @@ def ext14_queries() -> dict:
         "streaming_stream_join_outer": q_streaming_stream_join_outer,
         "udtf_dynamic_schema": q_udtf_dynamic_schema,
         "sessionize_dynamic_gap": q_sessionize_dynamic_gap,
+        "streaming_chained_agg": q_streaming_chained_agg,
     }
 
 
@@ -1227,4 +1257,5 @@ def ext14_oracles() -> dict:
         "streaming_stream_join_outer": _SQL_STREAM_JOIN_OUTER,
         "udtf_dynamic_schema": _SQL_UDTF_DYNAMIC,
         "sessionize_dynamic_gap": _SQL_SESSION_DYNAMIC,
+        "streaming_chained_agg": _SQL_CHAINED_AGG,
     }

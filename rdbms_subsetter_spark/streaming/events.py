@@ -568,3 +568,53 @@ def streaming_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("click_ts")
         < F.lit(wm_base) - F.expr("INTERVAL 2 HOUR") - F.expr("INTERVAL 1 SECOND")
     ).orderBy("click_id", "purchase_id")
+
+
+def streaming_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful aggregations in one streaming query (Spark 4:
+    multiple stateful operators per query): watermarked hourly tumbling
+    counts re-aggregated into daily totals downstream, both stateful,
+    both watermark-driven — the streaming form of the hypertable
+    hourly→daily rollup (`events_rollup_daily`) without a second job or
+    an intermediate sink.
+
+    Append mode is REQUIRED between chained aggs (the upstream agg must
+    finalize a window before the downstream one consumes it), so the
+    bounded replay emits exactly the daily windows whose end the final
+    watermark passed; the result is restricted to that region
+    (day_end < max_ts − 1 h − 1 s) where it provably equals the batch
+    hourly→daily rollup."""
+    from rdbms_subsetter_spark.catalog import Catalog
+
+    cat = Catalog(spark, sf_dir)
+    max_ts = cat["events"].agg(F.max("ts")).collect()[0][0]
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    hourly = ev.groupBy(
+        F.window("ts", "1 hour").alias("w1"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("v"),
+    )
+    daily = (
+        hourly.groupBy(F.window(F.col("w1"), "1 day").alias("w2"), "event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.count(F.lit(1)).alias("n_active_hours"),
+            F.round(F.sum("v"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w2.start").alias("day_start"),
+            F.col("w2.end").alias("day_end"),
+            "event_type",
+            "n_events",
+            "n_active_hours",
+            "sum_value",
+        )
+    )
+    out = run_stream_to_memory(
+        spark, daily, name="stream_chained_agg", output_mode="append"
+    )
+    return out.filter(
+        F.col("day_end")
+        < F.lit(max_ts) - F.expr("INTERVAL 1 HOUR") - F.expr("INTERVAL 1 SECOND")
+    ).drop("day_end")
