@@ -108,7 +108,7 @@ _NEW_R03 = [
     "schema_evolution_agg", "nested_struct_ops", "json_struct_parse",
     "multimodal_real_roundtrip", "hybrid_search_rrf",
     "streaming_stream_join_outer", "udtf_dynamic_schema",
-    "sessionize_dynamic_gap", "streaming_chained_agg",
+    "sessionize_dynamic_gap", "streaming_chained_agg", "compaction_plan",
 ]
 
 

@@ -1201,6 +1201,57 @@ WHERE day_start + INTERVAL 1 DAY <
 """
 
 
+# ---------------------------------------------------------------------------
+# Compaction planning over the real file inventory
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET = 8000  # rows per output file
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction PLAN: the per-file inventory (real
+    ``_metadata`` scan, same machinery as file_layout_report) is packed
+    into target-size output bins by a greedy running-sum rule — bin =
+    floor(rows_before / target) over the (table, file) order.  This is
+    the planning half of OPTIMIZE/compaction: the plan says which input
+    files coalesce into which output file; the rewrite itself is one
+    partitioned write per bin.
+
+    Scale shape: the inventory is one row per FILE (a 100 TB table is
+    ~10⁵ files — driver-trivial); the plan is a prefix sum over that
+    tiny relation.  The expensive part of real compaction is the
+    rewrite, whose cost the plan bounds up front."""
+    from pyspark.sql import Window
+
+    from rdbms_subsetter_spark.queries_ext10 import q_file_layout_report
+
+    inv = q_file_layout_report(spark, sf_dir)
+    w = Window.orderBy("table_name", "file_name").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    rows_before = F.coalesce(F.sum("n_rows").over(w), F.lit(0))
+    return inv.select(
+        "table_name",
+        "file_name",
+        "n_rows",
+        F.floor(rows_before / _COMPACT_TARGET).cast("int").alias("target_bin"),
+    )
+
+
+def _compaction_sql() -> str:
+    from rdbms_subsetter_spark.queries_ext10 import _layout_sql
+
+    return f"""
+WITH inv AS ({_layout_sql()})
+SELECT table_name, file_name, n_rows,
+       CAST(floor(coalesce(sum(n_rows) OVER (
+              ORDER BY table_name, file_name
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / {_COMPACT_TARGET}) AS INT) AS target_bin
+FROM inv
+"""
+
+
 def ext14_queries() -> dict:
     return {
         "jdbc_source_agg": q_jdbc_source_agg,
@@ -1228,6 +1279,7 @@ def ext14_queries() -> dict:
         "udtf_dynamic_schema": q_udtf_dynamic_schema,
         "sessionize_dynamic_gap": q_sessionize_dynamic_gap,
         "streaming_chained_agg": q_streaming_chained_agg,
+        "compaction_plan": q_compaction_plan,
     }
 
 
@@ -1258,4 +1310,5 @@ def ext14_oracles() -> dict:
         "udtf_dynamic_schema": _SQL_UDTF_DYNAMIC,
         "sessionize_dynamic_gap": _SQL_SESSION_DYNAMIC,
         "streaming_chained_agg": _SQL_CHAINED_AGG,
+        "compaction_plan": _compaction_sql(),
     }
