@@ -136,6 +136,7 @@ HEADLINE = [
     "udtf_dynamic_schema",
     "sessionize_dynamic_gap",
     "streaming_chained_agg",
+    "compaction_plan",
 ]
 
 
