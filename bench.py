@@ -137,6 +137,8 @@ HEADLINE = [
     "sessionize_dynamic_gap",
     "streaming_chained_agg",
     "compaction_plan",
+    "udf_cogrouped_merge",
+    "join_strategy_hints",
 ]
 
 

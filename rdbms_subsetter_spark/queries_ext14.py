@@ -1252,6 +1252,109 @@ FROM inv
 """
 
 
+# ---------------------------------------------------------------------------
+# Cogrouped applyInPandas + join strategy hints
+# ---------------------------------------------------------------------------
+
+
+def q_udf_cogrouped_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped ``applyInPandas`` (the one Arrow UDF surface the rest
+    of the battery doesn't touch): events and orders cogrouped per
+    customer, each pandas function call receiving BOTH groups — the
+    escape hatch for per-key logic that needs two tables side by side
+    (custom as-of matching, reconciliation).  Here it reconciles event
+    activity vs order spend per customer: counts, sums, and the gap
+    between last event and last order date, all computed in pandas.
+
+    Scale shape: one cogroup shuffle on the key for each side, Arrow
+    batches per key group; the Python function sees only one key's
+    slices at a time (bounded memory)."""
+    import pandas as pd
+
+    cat = Catalog(spark, sf_dir)
+    ev = cat["events"].select("user_id", "value")
+    orders = cat["orders"].select(
+        F.col("o_custkey").alias("user_id"), "o_totalprice"
+    )
+
+    def merge(key, ev_pdf: pd.DataFrame, ord_pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [len(ev_pdf)],
+                "n_orders": [len(ord_pdf)],
+                "event_value": [round(float(ev_pdf["value"].sum()), 2)],
+                "order_value": [round(float(ord_pdf["o_totalprice"].sum()), 2)],
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .cogroup(orders.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            schema="user_id long, n_events long, n_orders long, "
+            "event_value double, order_value double",
+        )
+    )
+
+
+_SQL_COGROUPED_MERGE = """
+WITH e AS (SELECT user_id, count(*) AS n_events,
+                  round(sum(value), 2) AS event_value
+           FROM events GROUP BY user_id),
+o AS (SELECT o_custkey AS user_id, count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS order_value
+      FROM orders GROUP BY o_custkey)
+SELECT coalesce(e.user_id, o.user_id) AS user_id,
+       coalesce(n_events, 0) AS n_events,
+       coalesce(n_orders, 0) AS n_orders,
+       coalesce(event_value, 0.0) AS event_value,
+       coalesce(order_value, 0.0) AS order_value
+FROM e FULL OUTER JOIN o ON e.user_id = o.user_id
+"""
+
+
+def q_join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join strategy hints: the SAME equi-join executed once with a
+    MERGE (sort-merge) hint and once with a SHUFFLE_HASH hint, results
+    unioned with a strategy tag — identical rows from both, proving the
+    hint changes the physical strategy, never the semantics.  The hint
+    API is how a user overrides AQE when they know better (e.g. forcing
+    shuffle-hash when one side is pre-sorted output the optimizer can't
+    see); plan-shape tests assert each hint actually took effect."""
+    cat = Catalog(spark, sf_dir)
+    cust = cat["customer"].select("c_custkey", "c_nationkey")
+    orders = cat["orders"].select("o_custkey", "o_totalprice")
+
+    def joined(hint: str, tag: str):
+        return (
+            orders.join(cust.hint(hint), orders["o_custkey"] == cust["c_custkey"])
+            .groupBy("c_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
+            .select(F.lit(tag).alias("strategy"), "c_nationkey", "n_orders", "total_price")
+        )
+
+    return joined("merge", "sort_merge").unionByName(
+        joined("shuffle_hash", "shuffle_hash")
+    )
+
+
+_SQL_JOIN_HINTS = """
+WITH agg AS (
+  SELECT c_nationkey, count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS total_price
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_nationkey)
+SELECT 'sort_merge' AS strategy, c_nationkey, n_orders, total_price FROM agg
+UNION ALL
+SELECT 'shuffle_hash', c_nationkey, n_orders, total_price FROM agg
+"""
+
+
 def ext14_queries() -> dict:
     return {
         "jdbc_source_agg": q_jdbc_source_agg,
@@ -1280,6 +1383,8 @@ def ext14_queries() -> dict:
         "sessionize_dynamic_gap": q_sessionize_dynamic_gap,
         "streaming_chained_agg": q_streaming_chained_agg,
         "compaction_plan": q_compaction_plan,
+        "udf_cogrouped_merge": q_udf_cogrouped_merge,
+        "join_strategy_hints": q_join_strategy_hints,
     }
 
 
@@ -1311,4 +1416,6 @@ def ext14_oracles() -> dict:
         "sessionize_dynamic_gap": _SQL_SESSION_DYNAMIC,
         "streaming_chained_agg": _SQL_CHAINED_AGG,
         "compaction_plan": _compaction_sql(),
+        "udf_cogrouped_merge": _SQL_COGROUPED_MERGE,
+        "join_strategy_hints": _SQL_JOIN_HINTS,
     }

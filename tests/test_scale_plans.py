@@ -283,3 +283,14 @@ def test_incremental_delta_closure_is_semi_anti_joins(spark):
     plan = physical_plan(q_subset_incremental_delta(spark, SF_SMALL), "simple")
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_join_hints_take_effect(spark):
+    """The MERGE branch must plan SortMergeJoin and the SHUFFLE_HASH
+    branch ShuffledHashJoin — hints override AQE's broadcast choice."""
+    from rdbms_subsetter_spark.queries_ext14 import q_join_strategy_hints
+
+    plan = physical_plan(q_join_strategy_hints(spark, SF_SMALL), "simple")
+    assert "SortMergeJoin" in plan
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
