@@ -294,3 +294,26 @@ def test_join_hints_take_effect(spark):
     assert "SortMergeJoin" in plan
     assert "ShuffledHashJoin" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_incremental_delta_anti_join_shuffle_free_when_bucketed(spark, cat):
+    """SCALE.md's incremental-refresh upgrade claim, proven in the plan:
+    with existing-subset keys and delta-closure keys both bucketed on
+    the key, the delta anti-join plans ZERO exchanges — the 100 TB
+    refresh touches only co-located buckets."""
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        existing = cat["orders"].where(F.col("o_orderkey") % 10 == 0).select("o_orderkey")
+        closed_new = cat["orders"].where(F.col("o_orderkey") % 10 == 5).select("o_orderkey")
+        partitioning.write_bucketed(existing, "exist_keys_b", ["o_orderkey"], n_buckets=8)
+        partitioning.write_bucketed(closed_new, "new_keys_b", ["o_orderkey"], n_buckets=8)
+        delta = spark.table("new_keys_b").join(
+            spark.table("exist_keys_b"), on="o_orderkey", how="left_anti"
+        )
+        assert count_exchanges(delta) == 0, physical_plan(delta, "simple")
+        assert delta.count() == closed_new.count()  # modulo classes disjoint
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS exist_keys_b")
+        spark.sql("DROP TABLE IF EXISTS new_keys_b")
