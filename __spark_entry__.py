@@ -109,7 +109,7 @@ _NEW_R03 = [
     "multimodal_real_roundtrip", "hybrid_search_rrf",
     "streaming_stream_join_outer", "udtf_dynamic_schema",
     "sessionize_dynamic_gap", "streaming_chained_agg", "compaction_plan",
-    "udf_cogrouped_merge", "join_strategy_hints",
+    "udf_cogrouped_merge", "join_strategy_hints", "dq_quarantine_split",
 ]
 
 

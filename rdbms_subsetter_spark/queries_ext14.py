@@ -1355,6 +1355,60 @@ SELECT 'shuffle_hash', c_nationkey, n_orders, total_price FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# Quarantine routing: first-failing-rule attribution in one scan
+# ---------------------------------------------------------------------------
+
+
+def q_dq_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate ROUTING (the write side of docpipe_gopher_rules):
+    each failing document is attributed to its FIRST failing rule in a
+    fixed severity order — the quarantine bucket a pipeline writes
+    rejects into, so triage starts from a single labeled table instead
+    of re-running the rule battery.  Emits only quarantined rows
+    (doc_id, first_failed_rule, the two cheap metrics triage wants).
+
+    Scale shape: identical to the rule battery — one scan, pure column
+    expressions, zero shuffles; the pass side would be the main write
+    branch of the same scan (df.where(pass_all))."""
+    from rdbms_subsetter_spark.queries_ext10 import q_docpipe_gopher_rules
+
+    rules = q_docpipe_gopher_rules(spark, sf_dir)
+    first_fail = (
+        F.when(F.col("ok_len") == 0, "len_band")
+        .when(F.col("ok_word_len") == 0, "word_len_band")
+        .when(F.col("ok_alpha") == 0, "alpha_floor")
+        .when(F.col("ok_stop") == 0, "stopword_floor")
+    )
+    return (
+        rules.where(F.col("pass_all") == 0)
+        .select(
+            "doc_id",
+            first_fail.alias("first_failed_rule"),
+            "n_tok",
+            "mean_word_len",
+        )
+    )
+
+
+_SQL_QUARANTINE = """
+WITH r AS ({gopher})
+SELECT doc_id,
+       CASE WHEN ok_len = 0 THEN 'len_band'
+            WHEN ok_word_len = 0 THEN 'word_len_band'
+            WHEN ok_alpha = 0 THEN 'alpha_floor'
+            WHEN ok_stop = 0 THEN 'stopword_floor' END AS first_failed_rule,
+       n_tok, mean_word_len
+FROM r WHERE pass_all = 0
+"""
+
+
+def _quarantine_sql() -> str:
+    from rdbms_subsetter_spark.queries_ext10 import _SQL_GOPHER_RULES
+
+    return _SQL_QUARANTINE.format(gopher=_SQL_GOPHER_RULES)
+
+
 def ext14_queries() -> dict:
     return {
         "jdbc_source_agg": q_jdbc_source_agg,
@@ -1385,6 +1439,7 @@ def ext14_queries() -> dict:
         "compaction_plan": q_compaction_plan,
         "udf_cogrouped_merge": q_udf_cogrouped_merge,
         "join_strategy_hints": q_join_strategy_hints,
+        "dq_quarantine_split": q_dq_quarantine_split,
     }
 
 
@@ -1418,4 +1473,5 @@ def ext14_oracles() -> dict:
         "compaction_plan": _compaction_sql(),
         "udf_cogrouped_merge": _SQL_COGROUPED_MERGE,
         "join_strategy_hints": _SQL_JOIN_HINTS,
+        "dq_quarantine_split": _quarantine_sql(),
     }
