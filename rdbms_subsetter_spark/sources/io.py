@@ -159,6 +159,16 @@ def derby_url(tag: str) -> str:
     other's `db.lck`.
     """
     base = _scratch_dir("derby", tag, str(os.getpid()))
+    # Derby writes derby.log to user.dir (the JVM cwd — possibly a repo
+    # checkout) unless derby.system.home is set; point it at the scratch
+    # area BEFORE the engine boots.  A no-op if Derby already booted.
+    try:
+        from pyspark.sql import SparkSession
+
+        jvm = SparkSession.getActiveSession()._jvm  # type: ignore[union-attr]
+        jvm.java.lang.System.setProperty("derby.system.home", tempfile.gettempdir())
+    except Exception:
+        pass
     return f"jdbc:derby:{base};create=true"
 
 
