@@ -1403,6 +1403,73 @@ FROM r WHERE pass_all = 0
 """
 
 
+# ---------------------------------------------------------------------------
+# Bitmap exact-distinct aggregation + top-k with ties
+# ---------------------------------------------------------------------------
+
+
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counting via BITMAP aggregates (Spark 3.5+):
+    values map to (bucket, bit-position), per-bucket bitmaps OR-combine
+    map-side, and the distinct count is the popcount sum.  THE scalable
+    exact-distinct pattern: unlike count(DISTINCT x) — whose partials
+    must carry every distinct value through the shuffle — the shuffle
+    here carries fixed-size bitmaps per (group, bucket), and bitmaps
+    are re-mergeable for rollups (the same property sketches give,
+    without the approximation).  Hash-checked against count(DISTINCT)."""
+    cat = Catalog(spark, sf_dir)
+    li = cat["lineitem"].select(
+        "l_returnflag", F.col("l_partkey").alias("v")
+    )
+    return (
+        li.select(
+            "l_returnflag",
+            F.expr("bitmap_bucket_number(v)").alias("bucket"),
+            F.expr("bitmap_bit_position(v)").alias("pos"),
+        )
+        .groupBy("l_returnflag", "bucket")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_distinct_parts"))
+    )
+
+
+_SQL_BITMAP_DISTINCT = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_distinct_parts
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_child_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-parent top-k WITH TIES (rank() <= k, vs the reference's
+    row_number cap, op #10): every lineitem tied at the k-th quantity
+    is kept — the deterministic form of a per-parent cap when the sort
+    key has duplicates (row_number would pick tie-winners by an
+    arbitrary second key).  WindowGroupLimit prunes in rank mode too:
+    partial top-k per map task before the shuffle."""
+    from pyspark.sql import Window
+
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("l_orderkey").orderBy(F.desc("l_quantity"))
+    return (
+        cat["lineitem"]
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 2)
+    )
+
+
+_SQL_TOPK_TIES = """
+SELECT l_orderkey, l_linenumber, l_quantity, rk FROM (
+  SELECT l_orderkey, l_linenumber, l_quantity,
+         rank() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC) AS rk
+  FROM lineitem)
+WHERE rk <= 2
+"""
+
+
 def _quarantine_sql() -> str:
     from rdbms_subsetter_spark.queries_ext10 import _SQL_GOPHER_RULES
 
@@ -1440,6 +1507,8 @@ def ext14_queries() -> dict:
         "udf_cogrouped_merge": q_udf_cogrouped_merge,
         "join_strategy_hints": q_join_strategy_hints,
         "dq_quarantine_split": q_dq_quarantine_split,
+        "agg_bitmap_distinct": q_agg_bitmap_distinct,
+        "child_topk_with_ties": q_child_topk_with_ties,
     }
 
 
@@ -1474,4 +1543,6 @@ def ext14_oracles() -> dict:
         "udf_cogrouped_merge": _SQL_COGROUPED_MERGE,
         "join_strategy_hints": _SQL_JOIN_HINTS,
         "dq_quarantine_split": _quarantine_sql(),
+        "agg_bitmap_distinct": _SQL_BITMAP_DISTINCT,
+        "child_topk_with_ties": _SQL_TOPK_TIES,
     }
