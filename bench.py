@@ -139,6 +139,9 @@ HEADLINE = [
     "compaction_plan",
     "udf_cogrouped_merge",
     "join_strategy_hints",
+    "dq_quarantine_split",
+    "agg_bitmap_distinct",
+    "child_topk_with_ties",
 ]
 
 
