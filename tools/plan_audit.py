@@ -141,6 +141,23 @@ COMMENTARY = {
         "query (shuffle ∝ queries × k, never corpus × queries), one window "
         "for the global top-3, tiny-domain degree aggregates after."
     ),
+    "agg_bitmap_distinct": (
+        "Exact distinct via bitmap aggregates. Wanted: bitmap_construct_agg "
+        "partials BEFORE the exchange — the shuffle carries fixed-size "
+        "bitmaps per (group, bucket), never the distinct values themselves "
+        "(count DISTINCT would expand partials to one row per value)."
+    ),
+    "child_topk_with_ties": (
+        "Per-parent top-k WITH TIES. Wanted: WindowGroupLimit in rank mode, "
+        "Partial before the parent-key exchange — ties included, but still "
+        "at most the boundary group per map task crosses the wire."
+    ),
+    "hybrid_search_rrf": (
+        "Hybrid BM25 ⊕ cosine RRF fusion. Wanted: both ranking lists cut by "
+        "TakeOrderedAndProject (distributed partial top-100) BEFORE any rank "
+        "window; the only windows run on the bounded 100-row frames; fusion "
+        "joins two thin (id, rank) relations."
+    ),
 }
 
 
