@@ -110,7 +110,7 @@ _NEW_R03 = [
     "streaming_stream_join_outer", "udtf_dynamic_schema",
     "sessionize_dynamic_gap", "streaming_chained_agg", "compaction_plan",
     "udf_cogrouped_merge", "join_strategy_hints", "dq_quarantine_split",
-    "agg_bitmap_distinct", "child_topk_with_ties",
+    "agg_bitmap_distinct", "child_topk_with_ties", "sql_collations",
 ]
 
 

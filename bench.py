@@ -142,6 +142,7 @@ HEADLINE = [
     "dq_quarantine_split",
     "agg_bitmap_distinct",
     "child_topk_with_ties",
+    "sql_collations",
 ]
 
 

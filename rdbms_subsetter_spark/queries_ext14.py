@@ -1479,6 +1479,62 @@ WHERE rk <= 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Spark 4 collation surface
+# ---------------------------------------------------------------------------
+
+
+def q_sql_collations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware comparison and grouping (Spark 4 COLLATE): part
+    names are deterministically case-mangled (upper for even keys), then
+    grouped and equality-filtered under UNICODE_CI — the engine-level
+    answer to the lower()-everywhere anti-pattern (collation keeps the
+    original strings, applies at comparison time, and pushes into
+    joins/aggregates).  The output canonicalizes the group key through
+    lower() because the collated representative (which case variant
+    survives) is partitioning-dependent — only the grouping SEMANTICS
+    are collation's contract."""
+    cat = Catalog(spark, sf_dir)
+    mangled = cat["part"].select(
+        F.when(F.col("p_partkey") % 2 == 0, F.upper("p_name"))
+        .otherwise(F.col("p_name"))
+        .alias("name"),
+        "p_retailprice",
+    )
+    view = _scoped_view(spark, mangled, "collate_parts", sf_dir)
+    try:
+        return spark.sql(
+            f"""
+            SELECT lower(k) AS name_ci,
+                   n_variants, n_parts, sum_price
+            FROM (
+              SELECT collate(name, 'UNICODE_CI') AS k,
+                     count(DISTINCT name COLLATE UTF8_BINARY) AS n_variants,
+                     count(*) AS n_parts,
+                     round(sum(p_retailprice), 2) AS sum_price
+              FROM {view}
+              GROUP BY collate(name, 'UNICODE_CI')
+            )
+            """
+        )
+    finally:
+        spark.catalog.dropTempView(view)
+
+
+_SQL_COLLATIONS = """
+WITH mangled AS (
+  SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_name) ELSE p_name END AS name,
+         p_retailprice
+  FROM part)
+SELECT lower(name) AS name_ci,
+       count(DISTINCT name) AS n_variants,
+       count(*) AS n_parts,
+       round(sum(p_retailprice), 2) AS sum_price
+FROM mangled
+GROUP BY lower(name)
+"""
+
+
 def _quarantine_sql() -> str:
     from rdbms_subsetter_spark.queries_ext10 import _SQL_GOPHER_RULES
 
@@ -1518,6 +1574,7 @@ def ext14_queries() -> dict:
         "dq_quarantine_split": q_dq_quarantine_split,
         "agg_bitmap_distinct": q_agg_bitmap_distinct,
         "child_topk_with_ties": q_child_topk_with_ties,
+        "sql_collations": q_sql_collations,
     }
 
 
@@ -1554,4 +1611,5 @@ def ext14_oracles() -> dict:
         "dq_quarantine_split": _quarantine_sql(),
         "agg_bitmap_distinct": _SQL_BITMAP_DISTINCT,
         "child_topk_with_ties": _SQL_TOPK_TIES,
+        "sql_collations": _SQL_COLLATIONS,
     }
