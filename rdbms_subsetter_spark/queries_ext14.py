@@ -1535,6 +1535,40 @@ GROUP BY lower(name)
 """
 
 
+def q_set_union_missing_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-tolerant union: ``unionByName(allowMissingColumns=True)``
+    NULL-fills columns absent from either side — the DataFrame-level
+    twin of the mergeSchema read (schema_evolution_agg): combining two
+    pipeline generations whose schemas drifted, without a migration.
+    Here the 'old feed' lacks the quality_tier column and the 'new
+    feed' lacks source; the union carries both, NULL where unknown."""
+    cat = Catalog(spark, sf_dir)
+    docs = cat["documents"]
+    old_feed = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "lang", "source")
+    new_feed = (
+        docs.where(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "lang", (F.col("n_chars") > 500).cast("int").alias("quality_tier"))
+    )
+    merged = old_feed.unionByName(new_feed, allowMissingColumns=True)
+    return merged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("source").alias("n_with_source"),
+        F.count("quality_tier").alias("n_with_tier"),
+        F.sum("quality_tier").alias("n_high_tier"),
+    )
+
+
+_SQL_UNION_MISSING = """
+SELECT lang, count(*) AS n_docs,
+       count(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS n_with_source,
+       count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_with_tier,
+       CAST(sum(CASE WHEN doc_id % 2 = 1 AND n_chars > 500 THEN 1
+                     WHEN doc_id % 2 = 1 THEN 0 END) AS BIGINT) AS n_high_tier
+FROM documents
+GROUP BY lang
+"""
+
+
 def _quarantine_sql() -> str:
     from rdbms_subsetter_spark.queries_ext10 import _SQL_GOPHER_RULES
 
@@ -1575,6 +1609,7 @@ def ext14_queries() -> dict:
         "agg_bitmap_distinct": q_agg_bitmap_distinct,
         "child_topk_with_ties": q_child_topk_with_ties,
         "sql_collations": q_sql_collations,
+        "set_union_missing_cols": q_set_union_missing_cols,
     }
 
 
@@ -1612,4 +1647,5 @@ def ext14_oracles() -> dict:
         "agg_bitmap_distinct": _SQL_BITMAP_DISTINCT,
         "child_topk_with_ties": _SQL_TOPK_TIES,
         "sql_collations": _SQL_COLLATIONS,
+        "set_union_missing_cols": _SQL_UNION_MISSING,
     }
