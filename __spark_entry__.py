@@ -111,7 +111,7 @@ _NEW_R03 = [
     "sessionize_dynamic_gap", "streaming_chained_agg", "compaction_plan",
     "udf_cogrouped_merge", "join_strategy_hints", "dq_quarantine_split",
     "agg_bitmap_distinct", "child_topk_with_ties", "sql_collations",
-    "set_union_missing_cols",
+    "set_union_missing_cols", "mixture_epoch_upsample",
 ]
 
 

@@ -143,6 +143,7 @@ HEADLINE = [
     "agg_bitmap_distinct",
     "child_topk_with_ties",
     "sql_collations",
+    "mixture_epoch_upsample",
 ]
 
 

@@ -1569,6 +1569,84 @@ GROUP BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# Mixture epoch upsampling (replication with fractional remainder)
+# ---------------------------------------------------------------------------
+
+_UPSAMPLE_W = {"en": 1.0, "de": 2.5, "fr": 0.5, "es": 1.25, "zh": 2.0}
+
+
+def q_mixture_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture UP-sampling — the direction the other mixture operators
+    don't cover: a domain weighted w > 1 is replicated floor(w) times
+    per epoch plus a deterministic hash-Bernoulli extra copy with
+    probability frac(w) (so expected multiplicity is exactly w, and the
+    realized copy set is bit-reproducible from (seed, doc_id) alone —
+    what a resumable loader needs).  Emitted per language: total
+    emitted rows, distinct source docs, realized rate.
+
+    Scale shape: one scan; replication via explode(sequence(1, n)) is
+    map-local (a Generate, no shuffle) and the only shuffle is the
+    final per-language aggregate."""
+    cat = Catalog(spark, sf_dir)
+    w = F.lit(None).cast("double")
+    for lang, wt in _UPSAMPLE_W.items():
+        w = F.when(F.col("lang") == lang, F.lit(wt)).otherwise(w)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("11|"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    n_copies = (
+        F.floor(w).cast("int")
+        + (bucket < ((w - F.floor(w)) * 10000).cast("long")).cast("int")
+    )
+    emitted = (
+        cat["documents"]
+        .select("doc_id", "lang", n_copies.alias("n_copies"))
+        .where(F.col("n_copies") > 0)
+        .select("doc_id", "lang", F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("epoch_copy"))
+    )
+    return emitted.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_emitted"),
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.round(F.count(F.lit(1)) / F.count_distinct("doc_id").cast("double"), 4).alias(
+            "realized_rate"
+        ),
+    )
+
+
+def _upsample_sql() -> str:
+    cases_w = " ".join(
+        f"WHEN '{lang}' THEN {wt}" for lang, wt in _UPSAMPLE_W.items()
+    )
+    return f"""
+WITH wdocs AS (
+  SELECT doc_id, lang,
+         CASE lang {cases_w} END AS w,
+         CAST(('0x' || substr(md5('11|' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 10000 AS bucket
+  FROM documents),
+copies AS (
+  SELECT doc_id, lang,
+         CAST(floor(w) AS INT)
+         + CASE WHEN bucket < CAST((w - floor(w)) * 10000 AS BIGINT)
+                THEN 1 ELSE 0 END AS n_copies
+  FROM wdocs),
+emitted AS (
+  SELECT doc_id, lang, unnest(generate_series(1, n_copies)) AS epoch_copy
+  FROM copies WHERE n_copies > 0)
+SELECT lang, count(*) AS n_emitted,
+       count(DISTINCT doc_id) AS n_docs,
+       round(count(*) * 1.0 / count(DISTINCT doc_id), 4) AS realized_rate
+FROM emitted
+GROUP BY lang
+"""
+
+
 def _quarantine_sql() -> str:
     from rdbms_subsetter_spark.queries_ext10 import _SQL_GOPHER_RULES
 
@@ -1610,6 +1688,7 @@ def ext14_queries() -> dict:
         "child_topk_with_ties": q_child_topk_with_ties,
         "sql_collations": q_sql_collations,
         "set_union_missing_cols": q_set_union_missing_cols,
+        "mixture_epoch_upsample": q_mixture_epoch_upsample,
     }
 
 
@@ -1648,4 +1727,5 @@ def ext14_oracles() -> dict:
         "child_topk_with_ties": _SQL_TOPK_TIES,
         "sql_collations": _SQL_COLLATIONS,
         "set_union_missing_cols": _SQL_UNION_MISSING,
+        "mixture_epoch_upsample": _upsample_sql(),
     }
