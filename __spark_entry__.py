@@ -8,6 +8,7 @@ gives the DuckDB-equivalent ANSI SQL for every SQL-expressible entry.
 
 from __future__ import annotations
 
+import json
 import sys
 from collections.abc import Callable
 from pathlib import Path
@@ -43,106 +44,30 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver grades ~50 entries per round in registration order, so
-# registration order IS the grading budget.  Union of driver verdicts
-# after r01+r02: 98/181 graded (85 hash-green, 3 rows-only-by-design,
-# 10 red — all from one oracle-typing root cause, fixed in r03).
-# Green entries from CORRECTNESS_r01.json + CORRECTNESS_r02.json; these
-# re-grade LAST so the bounded window reaches ungraded entries first.
-_DRIVER_GREEN = [
-    # r01 greens
-    "subset_summary", "subset_integrity", "row_counts", "filter_eq",
-    "point_lookup", "anti_join_childless", "semi_join_parents", "child_topk",
-    "sample_fraction", "sample_logarithmic", "forced_rows_closure",
-    "sequence_resync", "plan_preview", "schema_overview",
-    "agg_pricing_summary", "join_revenue_by_nation", "window_rank_running",
-    "set_ops", "scalar_functions", "date_functions", "json_extract_events",
-    "events_hourly", "sessionize", "dedup_exact", "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "dedup_simhash", "ann_cosine_topk",
-    "ann_srp_bucketed", "text_stats", "lang_id", "multimodal_metadata",
-    "multimodal_decode", "multimodal_frame_sample", "streaming_hourly",
-    "asof_join_latest_order", "asof_join_prev_event", "agg_rollup",
-    "agg_cube", "agg_distinct_percentile", "join_topk_unshipped",
-    "sample_stratified", "agg_approx_sketches", "top_orders_global",
-    "window_lag_lead_ntile", "csv_source_agg", "json_source_agg",
-    # r02 greens
-    "dedup_embedding_cosine", "map_functions", "doc_fingerprint_winnow",
-    "multimodal_features", "embed_quantize_int8", "agg_collect_set",
-    "pii_redact", "shard_assignment", "zorder_cluster",
-    "docpipe_gopher_rules", "split_train_valid_test", "heavy_hitters_tokens",
-    "token_length_histogram", "skew_report", "events_anomaly_zscore",
-    "embed_norm_stats", "sql_group_by_all", "dq_constraint_report",
-    "er_fuzzy_join", "file_layout_report", "events_attribution",
-    "events_cohort_matrix", "dq_benford_digits", "quality_lm_score",
-    "mixture_dsir_weights", "orders_seasonality", "lineitem_pareto_share",
-    "events_changepoint_cusum", "embed_pca_project",
-    "dedup_ngram_containment", "incr_agg_maintenance",
-    "sample_weighted_topk", "doc_keywords_tfidf", "asof_join_nearest",
-    "equidepth_histogram", "tpch_min_cost_supplier", "tpch_forecast_revenue",
-    "tpch_volume_shipping", "tpch_market_share", "tpch_product_profit",
-]
-
-# Oracle SQL changed in r03 (integer-SUM -> CAST AS BIGINT type fix):
-# the 10 r02 reds plus 7 latent same-pattern oracles.  Grade FIRST —
-# re-grading converts the 10 red rows green with zero semantic change.
-_CHANGED_THIS_ROUND = [
-    "curation_funnel", "streaming_curation_funnel", "incr_ingest_watermark",
-    "dedup_substring_coverage", "agg_unpivot_grouped", "events_winsorize",
-    "events_mad_outliers", "text_token_entropy", "dq_observed_metrics",
-    "sql_null_semantics",
-    "json_variant_extract", "mixture_temperature_sample",
-    "mixture_weighted_sample", "partitioned_source_prune",
-    "range_join_price_bands", "text_source_agg", "tpch_priority_class",
-]
-
-# New in r03 — locally parity-verified at sf0.001 AND sf0.01 but no
-# driver verdict yet.  They grade AFTER the r01/r02 never-graded backlog
-# (the bounded window should clear the oldest debt first) and before
-# the greens.
-_NEW_R03 = [
-    "jdbc_source_agg", "graph_pagerank_fixture", "dedup_semdedup_fixture",
-    "docs_per_source_cap", "dedup_paragraph_exact", "corpus_overlap_jaccard",
-    "eval_balanced_sample", "knn_graph_degree", "sql_parameterized",
-    "sql_identifier_clause", "sql_session_variables", "sql_lateral_alias",
-    "sql_execute_immediate", "pysource_stream_agg",
-    "subset_incremental_delta", "ann_ivf_fixture",
-    "schema_evolution_agg", "nested_struct_ops", "json_struct_parse",
-    "multimodal_real_roundtrip", "hybrid_search_rrf",
-    "streaming_stream_join_outer", "udtf_dynamic_schema",
-    "sessionize_dynamic_gap", "streaming_chained_agg", "compaction_plan",
-    "udf_cogrouped_merge", "join_strategy_hints", "dq_quarantine_split",
-    "agg_bitmap_distinct", "child_topk_with_ties", "sql_collations",
-    "set_union_missing_cols", "mixture_epoch_upsample",
-]
+# registration order IS the grading budget.  Per the round-3 verdict,
+# round 4's ordering rule is simply: every entry with NO driver verdict
+# yet grades first (oldest registration first), already-graded entries
+# re-grade last.  The graded union is computed from the driver's own
+# CORRECTNESS_r*.json artifacts so the ordering self-maintains as new
+# rounds land verdicts.
+def _graded_union() -> set[str]:
+    graded: set[str] = set()
+    for path in sorted(Path(_REPO).glob("CORRECTNESS_r*.json")):
+        try:
+            verdicts = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if isinstance(verdicts, dict):
+            graded.update(verdicts.keys())
+    return graded
 
 
 def _grading_order(names: list[str]) -> list[str]:
-    """Priority for the driver's bounded grading window: changed oracles
-    first, then the never-graded r01/r02 backlog in the families the
-    judge called out (UDF surface, TPC-H remainder, SQL subqueries,
-    streaming), then this round's new entries, then already-green
-    entries last."""
-    green = set(_DRIVER_GREEN)
-    changed = set(_CHANGED_THIS_ROUND)
-    new_r03 = set(_NEW_R03)
-
-    def bucket(n: str) -> int:
-        if n in changed:
-            return 0
-        if n in green:
-            return 9  # already green — re-grade last
-        if n in new_r03:
-            return 6  # after the older never-graded backlog
-        if n.startswith(("udf_", "udtf_")):
-            return 1
-        if n.startswith("tpch_"):
-            return 2
-        if n.startswith("sql_"):
-            return 3
-        if n.startswith("streaming_"):
-            return 4
-        return 5
-
-    return sorted(names, key=lambda n: (bucket(n), names.index(n)))
+    """Never-driver-graded entries first, in original registration order
+    (module registration is chronological, so this is oldest-debt-first);
+    entries that already hold a driver verdict re-grade last."""
+    graded = _graded_union()
+    return sorted(names, key=lambda n: (n in graded, names.index(n)))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
