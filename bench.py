@@ -190,6 +190,13 @@ def main() -> None:
     # timings exceeded that and graded as unparseable).  Stdout carries
     # ONE compact JSON line: summary + as many of the slowest queries as
     # fit a conservative byte budget, so the driver can always parse it.
+    # A run with errors drops those queries from `timings`, so its total
+    # covers fewer queries and is NOT comparable to clean runs: surface
+    # value=None (the per-query timings stay for triage) so downstream
+    # baseline comparisons skip the run instead of reading it as a win.
+    if errors:
+        total = None
+
     detail = {
         "metric": "headline_queries_total_sec",
         "value": total,

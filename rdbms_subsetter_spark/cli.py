@@ -50,6 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="named schema: tables live under SOURCE/SCHEMA and "
                         "are written under DEST/SCHEMA (the reference's "
                         "--schema reflection scope, mapped to directories)")
+    p.add_argument("--jdbc-driver", default=None,
+                   help="JDBC driver class when DEST is a jdbc: URL "
+                        "(defaults to the embedded Derby driver for "
+                        "jdbc:derby: URLs — always on Spark's classpath)")
     p.add_argument("--seed", type=int, default=42, help="sampling seed")
     p.add_argument("-y", "--yes", action="store_true",
                    help="skip the confirm prompt")
@@ -101,7 +105,24 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("rdbms_subsetter_spark.cli")
     source = os.path.join(args.source, args.schema) if args.schema else args.source
-    dest = os.path.join(args.dest, args.schema) if args.schema else args.dest
+    # a jdbc: destination is the reference's real shape (insert into a
+    # live RDBMS); --schema maps to directories, so it only applies to
+    # parquet destinations
+    dest_is_jdbc = args.dest.startswith("jdbc:")
+    if dest_is_jdbc:
+        dest = args.dest
+        jdbc_driver = args.jdbc_driver
+        if jdbc_driver is None:
+            if dest.startswith("jdbc:derby:"):
+                from rdbms_subsetter_spark.sources.io import DERBY_EMBEDDED_DRIVER
+
+                jdbc_driver = DERBY_EMBEDDED_DRIVER
+            else:
+                print("--jdbc-driver is required for non-Derby jdbc: URLs",
+                      file=sys.stderr)
+                return 2
+    else:
+        dest = os.path.join(args.dest, args.schema) if args.schema else args.dest
     cat = Catalog(spark, source)
     if args.config:
         # config AUGMENTS the built-in registry with pseudo-FKs, like the
@@ -135,14 +156,23 @@ def main(argv: list[str] | None = None) -> int:
     eng = ClosureEngine(cat)
     result = eng.create_subset(plan, seeds=seeds or None,
                                child_pull_rounds=args.child_pull_rounds)
-    order = write_subset(result.rows, cat.registry, dest)
+    if dest_is_jdbc:
+        from rdbms_subsetter_spark.sources.io import read_jdbc
+        from rdbms_subsetter_spark.writer import write_subset_jdbc
 
-    out_cat = Catalog(spark, dest, registry=cat.registry, tables=order)
-    viol = eng.integrity_violations({t: out_cat[t] for t in order})
+        order = write_subset_jdbc(result.rows, cat.registry, dest, jdbc_driver)
+        out_tables = {
+            t: read_jdbc(spark, dest, t, driver=jdbc_driver) for t in order
+        }
+    else:
+        order = write_subset(result.rows, cat.registry, dest)
+        out_cat = Catalog(spark, dest, registry=cat.registry, tables=order)
+        out_tables = {t: out_cat[t] for t in order}
+    viol = eng.integrity_violations(out_tables)
     bad = {e: v for e, v in viol.items() if v}
     for table in order:
-        print(f"wrote {table:<12} {out_cat[table].count():>10} rows")
-    resync = sequence_resync_report({t: out_cat[t] for t in order}, cat.registry)
+        print(f"wrote {table:<12} {out_tables[table].count():>10} rows")
+    resync = sequence_resync_report(out_tables, cat.registry)
     for table, mx in sorted(resync.items()):
         print(f"sequence resync: {table} -> setval({mx})")
     if bad:

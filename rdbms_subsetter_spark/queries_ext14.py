@@ -420,8 +420,12 @@ GROUP BY in_degree
 
 def _scoped_view(spark: SparkSession, df, base: str, sf_dir: str) -> str:
     """Uniquely-named temp view, dropped by callers in a finally block —
-    never register catalog table names (session-global shadowing)."""
-    name = f"__{base}_{abs(hash(sf_dir)) % 10**9}"
+    never register catalog table names (session-global shadowing).  The
+    suffix is an md5 digest of sf_dir so the name is stable across
+    processes (``hash()`` is PYTHONHASHSEED-randomized)."""
+    import hashlib
+
+    name = f"__{base}_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
     df.createOrReplaceTempView(name)
     return name
 
@@ -726,14 +730,17 @@ def q_schema_evolution_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale note: mergeSchema=true costs a footer read per file at
     planning; production pins the merged schema explicitly (as the
     oracle here effectively does) once it stabilizes."""
+    import hashlib
     import os
     import tempfile
 
     cat = Catalog(spark, sf_dir)
     docs = cat["documents"]
+    # md5 of sf_dir, not hash(): stable across processes so reruns reuse
+    # one scratch dir instead of accumulating rss_evolve_* per process
     out = os.path.join(
         tempfile.gettempdir(),
-        f"rss_evolve_{abs(hash(sf_dir)) % 10**9}",
+        f"rss_evolve_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
     )
     v1 = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "lang", "n_chars")
     v2 = (
@@ -1084,9 +1091,11 @@ def q_udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         def eval(self, n, s):
+            # empty tokens (consecutive/leading/trailing spaces) surface
+            # as NULL, matching the oracle's nullif(split_part(...), '')
             parts = (s or "").split(" ")
             yield tuple(
-                (parts[i] if i < len(parts) else None) for i in range(n)
+                (parts[i] or None) if i < len(parts) else None for i in range(n)
             )
 
     cat = Catalog(spark, sf_dir)
@@ -1107,7 +1116,7 @@ def q_udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_UDTF_DYNAMIC = """
-SELECT split_part(text, ' ', 1) AS first_tok,
+SELECT nullif(split_part(text, ' ', 1), '') AS first_tok,
        count(*) AS n_docs,
        count(nullif(split_part(text, ' ', 3), '')) AS n_full_width
 FROM documents
@@ -1272,7 +1281,7 @@ def q_udf_cogrouped_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python function ONCE PER KEY (~4 ms fixed overhead each locally),
     so it is the right tool for hundreds-to-thousands of heavy groups,
     not millions of trivial ones — the graded entry audits a bounded
-    deterministic account slice (user_id % 10 = 0), exactly how a
+    deterministic account slice (user_id % 100 = 0), exactly how a
     production reconciliation samples accounts; a full-population
     pass at this group size belongs in plain joins/aggs (see the
     oracle, which IS that formulation)."""

@@ -109,12 +109,17 @@ def read_jdbc(
         bounds = spark.read.format("jdbc").option("url", url).option("driver", driver).option(
             "query", f"SELECT min({qc}) lo, max({qc}) hi FROM {table}"
         ).load().collect()[0]
-        reader = (
-            reader.option("partitionColumn", partition_column)
-            .option("lowerBound", str(bounds[0]))
-            .option("upperBound", str(bounds[1]))
-            .option("numPartitions", str(num_partitions))
-        )
+        if bounds[0] is None or bounds[1] is None:
+            # empty table (or all-NULL column): range bounds are
+            # undefined — a single-connection read of zero rows is fine
+            pass
+        else:
+            reader = (
+                reader.option("partitionColumn", partition_column)
+                .option("lowerBound", str(bounds[0]))
+                .option("upperBound", str(bounds[1]))
+                .option("numPartitions", str(num_partitions))
+            )
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()

@@ -62,6 +62,31 @@ def write_subset(
     return order
 
 
+def write_subset_jdbc(
+    rows: dict[str, DataFrame],
+    registry: ConstraintRegistry,
+    url: str,
+    driver: str,
+    mode: str = "overwrite",
+) -> list[str]:
+    """Write every table into a JDBC destination in parents-first topo
+    order; returns the order.
+
+    This is the reference's actual destination shape
+    (`subsetter.py::Db.create_row_in` inserts into a live RDBMS), done
+    set-at-a-time: parents land before children so a destination with
+    enforced FK constraints accepts every batch.  The sink itself is
+    the batched ``write_jdbc`` (one round-trip per batch, not per row).
+    """
+    from rdbms_subsetter_spark.sources.io import write_jdbc
+
+    order = [t for t in registry.topo_order() if t in rows]
+    order += [t for t in rows if t not in order]
+    for table in order:
+        write_jdbc(rows[table], url, table, driver=driver, mode=mode)
+    return order
+
+
 def sequence_resync_report(rows: dict[str, DataFrame], registry: ConstraintRegistry) -> dict[str, int]:
     """``max(pk)`` per single-column-PK table — the value a postgres
     ``setval`` would need after load (reference ``update_sequences``)."""
