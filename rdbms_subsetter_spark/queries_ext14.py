@@ -175,6 +175,148 @@ _SQL_IVF_FIXTURE = (
 )
 
 
+# Expected SRP top-2 from the end-to-end signature mirror
+# (tools/fixture_expectations.py::srp_expect): md5 plane stream, sign
+# bits, same-bucket candidates, left-fold cosine.  On this fixture every
+# query shares its 3-bit bucket with its true 2-NN (the direction
+# clusters land in distinct buckets), so the approximate operator is
+# provably exact here and the brute-force-equal expectation is valid.
+_SRP_EXPECT = [
+    (0, 1, 1.0, 1), (0, 2, 0.999999, 2),
+    (4, 5, 1.0, 1), (4, 7, 0.930535, 2),
+    (8, 11, 0.995417, 1), (8, 10, 0.977957, 2),
+]
+
+
+def q_ann_srp_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-bucketed top-k on the fixed 12-vector corpus — the
+    hash-graded twin of the rows-only ``ann_srp_bucketed`` entry.
+    Exercises the identical operator (seeded md5 hyperplanes folded
+    into the plan as literals, sign-bit signature, one equi-join on the
+    bucket id, window top-k on the rounded cosine); the oracle is the
+    independent Python mirror of the whole pipeline
+    (tools/fixture_expectations.py::srp_expect)."""
+    from rdbms_subsetter_spark.operators import similarity
+
+    emb = spark.createDataFrame(_SD_VECS, "vec_id long, embedding array<float>")
+    queries = emb.where(F.col("vec_id").isin(0, 4, 8))
+    return similarity.srp_topk(emb, queries, dim=4, k=2, n_planes=3, seed=42)
+
+
+_SQL_SRP_FIXTURE = (
+    "SELECT * FROM (VALUES {vals}) AS t(query_id, neighbor_id, cosine, rank)"
+).format(
+    vals=", ".join(
+        f"(CAST({q} AS BIGINT), CAST({n} AS BIGINT), CAST({c!r} AS DOUBLE), CAST({r} AS INT))"
+        for q, n, c, r in _SRP_EXPECT
+    )
+)
+
+
+# Expected top-2 PCA from the step-for-step numpy mirror
+# (tools/fixture_expectations.py::pca_expect): float32 ingest, partial
+# (n, Σx, ΣxᵀX), covariance, eigh, deterministic sign rule, left-fold
+# projection — bit-identical IEEE sequences to the operator.
+_PCA_EXPECT = [
+    (0, 0, -4.0433, 0.513844, -7.3092, 0.47257),
+    (1, 1, -4.0846, 0.513844, -7.375, 0.47257),
+    (2, 2, -4.0064, 0.513844, -7.236, 0.47257),
+    (3, 0, -4.4865, 0.513844, -3.8971, 0.47257),
+    (4, 1, -4.8039, 0.513844, 8.0737, 0.47257),
+    (5, 2, -4.8462, 0.513844, 8.1488, 0.47257),
+    (6, 0, -0.5114, 0.513844, 6.1004, 0.47257),
+    (7, 1, -4.8813, 0.513844, 3.9317, 0.47257),
+    (8, 2, 8.9072, 0.513844, -0.1752, 0.47257),
+    (9, 0, 8.1435, 0.513844, -0.4561, 0.47257),
+    (10, 1, 6.4825, 0.513844, 1.1325, 0.47257),
+    (11, 2, 8.1304, 0.513844, -0.9385, 0.47257),
+]
+
+
+def q_embed_pca_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 PCA of the fixed 12-vector corpus — the hash-graded twin of
+    the rows-only ``embed_pca_project`` entry.  Runs the identical
+    operator (mapInPandas partial covariance, driver eigh with the
+    deterministic sign rule, literal-basis codegen projection) on a
+    single partition so the partial-sum order is fixed; the oracle is
+    the independent numpy mirror (tools/fixture_expectations.py)."""
+    from rdbms_subsetter_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(i, v, i % 3) for i, v in _SD_VECS],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1)
+    return similarity.pca_fit_project(emb, n_components=2)
+
+
+_SQL_PCA_FIXTURE = (
+    "SELECT * FROM (VALUES {vals}) AS t(vec_id, label, pc1, evr1, pc2, evr2)"
+).format(
+    vals=", ".join(
+        f"(CAST({vid} AS BIGINT), CAST({lb} AS INT), CAST({p1!r} AS DOUBLE), "
+        f"CAST({e1!r} AS DOUBLE), CAST({p2!r} AS DOUBLE), CAST({e2!r} AS DOUBLE))"
+        for vid, lb, p1, e1, p2, e2 in _PCA_EXPECT
+    )
+)
+
+
+def q_agg_sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-graded accuracy gate for the sketch aggregates that back the
+    rows-only ``agg_approx_sketches`` entry.  Sketch estimates are
+    engine-specific, so instead of comparing values the query computes
+    BOTH the sketch and the exact answer per group in Spark and emits
+    booleans asserting the published error contracts — the oracle
+    computes the exact counts from the data and asserts the booleans
+    TRUE, so any accuracy regression in the HLL++ / quantile-sketch
+    path breaks the hash:
+
+    * ``approx_count_distinct(rsd=0.02)`` within 3·rsd of exact
+      (and never off by less than 1 whole count for tiny groups);
+    * ``percentile_approx(p, accuracy=10000)`` bounded by the EXACT
+      discrete percentiles at p ± 2/accuracy (the sketch's rank-error
+      guarantee, doubled for margin).
+
+    Scale note: the exact sides exist only to audit the sketch and run
+    at gate scale; at 100 TB only the sketch columns survive — that is
+    the point of sketching."""
+    cat = Catalog(spark, sf_dir)
+    li = cat["lineitem"]
+    acc = 10_000
+    eps = 2.0 / acc
+    g = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("a_supp"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("a_part"),
+        F.percentile_approx("l_extendedprice", 0.5, acc).alias("a_med"),
+        F.expr(f"percentile_approx(l_extendedprice, {0.5 - eps}, 1000000)").alias("lo"),
+        F.expr(f"percentile_approx(l_extendedprice, {0.5 + eps}, 1000000)").alias("hi"),
+    )
+
+    return g.select(
+        "l_returnflag",
+        "n_supp",
+        "n_part",
+        (F.abs(F.col("a_supp") - F.col("n_supp"))
+         <= F.greatest(F.lit(1.0), F.lit(0.06) * F.col("n_supp"))).alias("supp_ok"),
+        (F.abs(F.col("a_part") - F.col("n_part"))
+         <= F.greatest(F.lit(1.0), F.lit(0.06) * F.col("n_part"))).alias("part_ok"),
+        ((F.col("a_med") >= F.col("lo")) & (F.col("a_med") <= F.col("hi"))).alias(
+            "median_ok"
+        ),
+    )
+
+
+_SQL_SKETCH_BOUNDS = """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part,
+       TRUE AS supp_ok, TRUE AS part_ok, TRUE AS median_ok
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # Crawl-curation operators: per-source caps, paragraph dedup, corpus
 # overlap, balanced eval sampling, kNN graph
@@ -1698,6 +1840,11 @@ def ext14_queries() -> dict:
         "sql_collations": q_sql_collations,
         "set_union_missing_cols": q_set_union_missing_cols,
         "mixture_epoch_upsample": q_mixture_epoch_upsample,
+        # r04 fixture twins for the remaining rows-only trio — register
+        # LAST so the never-graded r01-r03 backlog keeps its window slots
+        "ann_srp_fixture": q_ann_srp_fixture,
+        "embed_pca_fixture": q_embed_pca_fixture,
+        "agg_sketch_error_bounds": q_agg_sketch_error_bounds,
     }
 
 
@@ -1737,4 +1884,7 @@ def ext14_oracles() -> dict:
         "sql_collations": _SQL_COLLATIONS,
         "set_union_missing_cols": _SQL_UNION_MISSING,
         "mixture_epoch_upsample": _upsample_sql(),
+        "ann_srp_fixture": _SQL_SRP_FIXTURE,
+        "embed_pca_fixture": _SQL_PCA_FIXTURE,
+        "agg_sketch_error_bounds": _SQL_SKETCH_BOUNDS,
     }
