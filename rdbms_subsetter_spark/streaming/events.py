@@ -92,6 +92,7 @@ def run_stream_to_memory(
     name: str,
     output_mode: str = "append",
     state_partitions: int = 8,
+    progress_out: dict | None = None,
 ) -> DataFrame:
     """Drive a bounded stream to completion synchronously and return
     the materialized sink table (local smoke-test harness).
@@ -103,7 +104,14 @@ def run_stream_to_memory(
     open/commit overhead dominates small-state local runs (measured 3x
     on the outer interval join: 32 partitions 9 s -> 8 partitions 4 s
     at sf0.1).  Results are partitioning-independent; the session conf
-    is restored after the query starts planning."""
+    is restored after the query starts planning.
+
+    ``progress_out``: if given, receives ``{"watermark": <datetime|None>}``
+    — the query's FINAL global watermark from its own progress report.
+    Deterministic-region cuts should derive from this instead of a
+    separate pre-stream scan: it is the exact value the engine used for
+    the last emission/eviction pass (no re-derivation drift, one less
+    driver job)."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
@@ -115,11 +123,30 @@ def run_stream_to_memory(
         )
         try:
             q.processAllAvailable()
+            if progress_out is not None:
+                progress_out["watermark"] = _final_watermark(q)
         finally:
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def _final_watermark(q) -> "object | None":
+    """Parse the final global watermark (UTC) out of a finished query's
+    last progress report; None when no event-time watermark exists or
+    no batch ran."""
+    from datetime import datetime, timezone
+
+    prog = q.lastProgress
+    wm = (prog or {}).get("eventTime", {}).get("watermark")
+    if not wm:
+        return None
+    return (
+        datetime.strptime(wm, "%Y-%m-%dT%H:%M:%S.%fZ")
+        .replace(tzinfo=timezone.utc)
+        .replace(tzinfo=None)
+    )
 
 
 def stateful_user_totals(events: DataFrame) -> DataFrame:
@@ -516,25 +543,21 @@ def streaming_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     over both inputs' per-stream watermarks — least(max click_ts, max
     purchase_ts) − 1 h — so null rows are guaranteed emitted exactly
     for clicks whose join window closed before it.  The result is
-    restricted to that fully-determined region, click_ts <
-    least(max_c, max_p) − 2 h − 1 s (driver scalars from the static
-    table; the extra second covers Spark's millisecond watermark
-    truncation and eviction-compare strictness): inside it, every match
-    AND every null-extension has provably been emitted, making the
-    output equal to a batch LEFT JOIN over the same region —
-    hash-checkable.  At scale the cut is exactly the "completed region"
-    a production job would publish downstream; the tail stays in state.
+    restricted to that fully-determined region, click_ts < watermark −
+    1 h − 1 s, where the watermark is taken from the finished query's
+    OWN progress report (no separate pre-stream scan; the extra second
+    covers Spark's millisecond watermark truncation and
+    eviction-compare strictness): inside it, every match AND every
+    null-extension has provably been emitted, making the output equal
+    to a batch LEFT JOIN over the same region — hash-checkable.  At
+    scale the cut is exactly the "completed region" a production job
+    would publish downstream; the tail stays in state.
     """
-    from rdbms_subsetter_spark.catalog import Catalog
-
-    cat = Catalog(spark, sf_dir)
-    ev = cat["events"]
-    max_c = ev.filter(F.col("event_type") == "click").agg(F.max("ts")).collect()[0][0]
-    max_p = ev.filter(F.col("event_type") == "purchase").agg(F.max("ts")).collect()[0][0]
-    wm_base = min(max_c, max_p)
+    # one source instance for both sides (stream-stream SELF-join):
+    # the micro-batch scans the arriving files once, not once per side
+    src = events_stream(spark, sf_dir)
     clicks = (
-        events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
+        src.filter(F.col("event_type") == "click")
         .select(
             "user_id",
             F.col("event_id").alias("click_id"),
@@ -543,8 +566,7 @@ def streaming_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("click_ts", "1 hour")
     )
     purchases = (
-        events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
+        src.filter(F.col("event_type") == "purchase")
         .select(
             F.col("user_id").alias("p_user_id"),
             F.col("event_id").alias("purchase_id"),
@@ -561,12 +583,28 @@ def streaming_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "left_outer",
     ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
+    # state volume at gate scale is ~1e5 rows per side: 2 partitions
+    # keep per-store open/commit overhead (4 stores per partition for an
+    # interval join) off the critical path; results are width-independent
+    progress: dict = {}
     out = run_stream_to_memory(
-        spark, joined, name="stream_stream_join_outer", output_mode="append"
+        spark,
+        joined,
+        name="stream_stream_join_outer",
+        output_mode="append",
+        state_partitions=2,
+        progress_out=progress,
     )
+    # final global watermark = least(max click_ts, max purchase_ts) − 1 h,
+    # reported by the query itself — no separate pre-stream scan; the
+    # fully-determined region is one more hour (the join window) behind
+    # it, minus 1 s for ms truncation / eviction-compare strictness
+    wm = progress.get("watermark")
+    if wm is None:
+        return out.filter(F.lit(False))
     return out.filter(
         F.col("click_ts")
-        < F.lit(wm_base) - F.expr("INTERVAL 2 HOUR") - F.expr("INTERVAL 1 SECOND")
+        < F.lit(wm) - F.expr("INTERVAL 1 HOUR") - F.expr("INTERVAL 1 SECOND")
     ).orderBy("click_id", "purchase_id")
 
 
@@ -582,12 +620,9 @@ def streaming_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     finalize a window before the downstream one consumes it), so the
     bounded replay emits exactly the daily windows whose end the final
     watermark passed; the result is restricted to that region
-    (day_end < max_ts − 1 h − 1 s) where it provably equals the batch
-    hourly→daily rollup."""
-    from rdbms_subsetter_spark.catalog import Catalog
-
-    cat = Catalog(spark, sf_dir)
-    max_ts = cat["events"].agg(F.max("ts")).collect()[0][0]
+    (day_end < watermark − 1 s, the watermark read from the finished
+    query's own progress report — no separate pre-stream scan) where it
+    provably equals the batch hourly→daily rollup."""
     ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
     hourly = ev.groupBy(
         F.window("ts", "1 hour").alias("w1"), "event_type"
@@ -611,10 +646,21 @@ def streaming_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+    # two chained stateful aggs = two store sets per partition; hourly
+    # and daily window state is tiny at gate scale, so 2 partitions
+    # minimize the per-store fixed cost (results width-independent)
+    progress: dict = {}
     out = run_stream_to_memory(
-        spark, daily, name="stream_chained_agg", output_mode="append"
+        spark,
+        daily,
+        name="stream_chained_agg",
+        output_mode="append",
+        state_partitions=2,
+        progress_out=progress,
     )
+    wm = progress.get("watermark")
+    if wm is None:
+        return out.filter(F.lit(False)).drop("day_end")
     return out.filter(
-        F.col("day_end")
-        < F.lit(max_ts) - F.expr("INTERVAL 1 HOUR") - F.expr("INTERVAL 1 SECOND")
+        F.col("day_end") < F.lit(wm) - F.expr("INTERVAL 1 SECOND")
     ).drop("day_end")
