@@ -144,6 +144,10 @@ HEADLINE = [
     "child_topk_with_ties",
     "sql_collations",
     "mixture_epoch_upsample",
+    # r04 additions
+    "ann_srp_fixture",
+    "embed_pca_fixture",
+    "agg_sketch_error_bounds",
 ]
 
 

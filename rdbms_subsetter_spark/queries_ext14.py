@@ -242,10 +242,16 @@ def q_embed_pca_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     the independent numpy mirror (tools/fixture_expectations.py)."""
     from rdbms_subsetter_spark.operators import similarity
 
+    # ONE slice from the start (fixed partial-sum order for the float
+    # fold).  NOT .coalesce(1): a coalesced python-list DataFrame makes
+    # a single task drain all 32 pickled parent slices through Python
+    # workers serially (~4 s for 12 rows); numSlices=1 is ~0.5 s.
+    rdd = spark.sparkContext.parallelize(
+        [(i, v, i % 3) for i, v in _SD_VECS], numSlices=1
+    )
     emb = spark.createDataFrame(
-        [(i, v, i % 3) for i, v in _SD_VECS],
-        "vec_id long, embedding array<float>, label int",
-    ).coalesce(1)
+        rdd, "vec_id long, embedding array<float>, label int"
+    )
     return similarity.pca_fit_project(emb, n_components=2)
 
 
@@ -272,26 +278,38 @@ def q_agg_sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     * ``approx_count_distinct(rsd=0.02)`` within 3·rsd of exact
       (and never off by less than 1 whole count for tiny groups);
-    * ``percentile_approx(p, accuracy=10000)`` bounded by the EXACT
-      discrete percentiles at p ± 2/accuracy (the sketch's rank-error
-      guarantee, doubled for margin).
+    * ``percentile_approx(p, accuracy=10000)`` bracketed by the
+      discrete percentiles at p ± 2/accuracy from a 2×-finer sketch:
+      the median's rank error is ≤ n/10⁴ while the bound elements sit
+      ≥ 1.5·n/10⁴ away from p·n (band 2·n/10⁴, bound sketch error
+      ≤ 0.5·n/10⁴), so lo ≤ a_med ≤ hi is guaranteed by the rank-error
+      contracts alone — no interpolation, no full-accuracy sketch (a
+      1e6-accuracy bound sketch was measured at 10 s; this is ~1.5 s).
 
-    Scale note: the exact sides exist only to audit the sketch and run
-    at gate scale; at 100 TB only the sketch columns survive — that is
-    the point of sketching."""
+    Scale note: the exact distinct counts exist only to audit the
+    sketch and run at gate scale; at 100 TB only the sketch columns
+    survive — that is the point of sketching."""
     cat = Catalog(spark, sf_dir)
     li = cat["lineitem"]
     acc = 10_000
     eps = 2.0 / acc
-    g = li.groupBy("l_returnflag").agg(
+    # exact DISTINCTs and sketches in SEPARATE aggregations, joined on
+    # the (tiny) group key: one combined agg mixes Expand-based distinct
+    # rewriting with object-hash sketch buffers, which forces a
+    # SortAggregate fallback over the tripled Expand rows (measured 8 s
+    # vs ~2 s split at sf0.1)
+    exact = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
         F.countDistinct("l_partkey").alias("n_part"),
+    )
+    sk = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_suppkey", rsd=0.02).alias("a_supp"),
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("a_part"),
         F.percentile_approx("l_extendedprice", 0.5, acc).alias("a_med"),
-        F.expr(f"percentile_approx(l_extendedprice, {0.5 - eps}, 1000000)").alias("lo"),
-        F.expr(f"percentile_approx(l_extendedprice, {0.5 + eps}, 1000000)").alias("hi"),
+        F.percentile_approx("l_extendedprice", 0.5 - eps, 2 * acc).alias("lo"),
+        F.percentile_approx("l_extendedprice", 0.5 + eps, 2 * acc).alias("hi"),
     )
+    g = exact.join(F.broadcast(sk), on="l_returnflag")
 
     return g.select(
         "l_returnflag",
