@@ -65,9 +65,10 @@ def _graded_union() -> set[str]:
 def _grading_order(names: list[str]) -> list[str]:
     """Never-driver-graded entries first, in original registration order
     (module registration is chronological, so this is oldest-debt-first);
-    entries that already hold a driver verdict re-grade last."""
+    entries that already hold a driver verdict re-grade last.  Sort
+    stability preserves registration order within each bucket."""
     graded = _graded_union()
-    return sorted(names, key=lambda n: (n in graded, names.index(n)))
+    return sorted(names, key=lambda n: n in graded)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -110,6 +110,14 @@ def main(argv: list[str] | None = None) -> int:
     # parquet destinations
     dest_is_jdbc = args.dest.startswith("jdbc:")
     if dest_is_jdbc:
+        if args.schema:
+            # directory-mapped schema scoping has no JDBC equivalent
+            # here; silently dropping the flag would land tables in the
+            # destination's default schema against the documented
+            # contract
+            print("--schema is not supported with a jdbc: destination",
+                  file=sys.stderr)
+            return 2
         dest = args.dest
         jdbc_driver = args.jdbc_driver
         if jdbc_driver is None:

@@ -581,11 +581,10 @@ GROUP BY in_degree
 def _scoped_view(spark: SparkSession, df, base: str, sf_dir: str) -> str:
     """Uniquely-named temp view, dropped by callers in a finally block —
     never register catalog table names (session-global shadowing).  The
-    suffix is an md5 digest of sf_dir so the name is stable across
-    processes (``hash()`` is PYTHONHASHSEED-randomized)."""
-    import hashlib
+    suffix is process-stable (see ``session.stable_suffix``)."""
+    from rdbms_subsetter_spark.session import stable_suffix
 
-    name = f"__{base}_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    name = f"__{base}_{stable_suffix(sf_dir)}"
     df.createOrReplaceTempView(name)
     return name
 
@@ -890,17 +889,17 @@ def q_schema_evolution_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale note: mergeSchema=true costs a footer read per file at
     planning; production pins the merged schema explicitly (as the
     oracle here effectively does) once it stabilizes."""
-    import hashlib
     import os
     import tempfile
 
+    from rdbms_subsetter_spark.session import stable_suffix
+
     cat = Catalog(spark, sf_dir)
     docs = cat["documents"]
-    # md5 of sf_dir, not hash(): stable across processes so reruns reuse
-    # one scratch dir instead of accumulating rss_evolve_* per process
+    # process-stable digest: reruns reuse one scratch dir instead of
+    # accumulating rss_evolve_* per process
     out = os.path.join(
-        tempfile.gettempdir(),
-        f"rss_evolve_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+        tempfile.gettempdir(), f"rss_evolve_{stable_suffix(sf_dir)}"
     )
     v1 = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "lang", "n_chars")
     v2 = (
@@ -1198,17 +1197,19 @@ FROM fused ORDER BY rrf DESC, doc_id LIMIT 20
 def q_streaming_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """See streaming.events.streaming_stream_join_outer: watermark-
     evicted null extensions restricted to the provably-complete region
-    (click_ts < least(max_click, max_purchase) − 2 h − 1 s), hash-checked against a batch LEFT JOIN
-    over the same region."""
+    (click_ts < floor_s(least(max_click, max_purchase)) − 2 h − 1 s;
+    second-truncated on BOTH sides so the engine's millisecond
+    watermark truncation cannot open a sub-ms disagreement sliver),
+    hash-checked against a batch LEFT JOIN over the same region."""
     from rdbms_subsetter_spark.streaming.events import streaming_stream_join_outer
 
     return streaming_stream_join_outer(spark, sf_dir)
 
 
 _SQL_STREAM_JOIN_OUTER = """
-WITH mx AS (SELECT least(
+WITH mx AS (SELECT date_trunc('second', least(
     (SELECT max(ts) FROM events WHERE event_type = 'click'),
-    (SELECT max(ts) FROM events WHERE event_type = 'purchase')) AS m),
+    (SELECT max(ts) FROM events WHERE event_type = 'purchase'))) AS m),
 c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
       FROM events WHERE event_type = 'click'
         AND ts < (SELECT m FROM mx) - INTERVAL 2 HOUR - INTERVAL 1 SECOND),
@@ -1352,7 +1353,7 @@ def q_streaming_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_CHAINED_AGG = """
-WITH mx AS (SELECT max(ts) AS m FROM events),
+WITH mx AS (SELECT date_trunc('second', max(ts)) AS m FROM events),
 hourly AS (
   SELECT time_bucket(INTERVAL 1 HOUR, ts) AS h, event_type,
          count(*) AS n, sum(value) AS v

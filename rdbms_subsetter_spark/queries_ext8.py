@@ -65,10 +65,10 @@ def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     the name): registering it as 'orders' would leak a session-global
     view shadowing the catalog table for every later query in the same
     session — stale if sf_dir changes."""
-    import hashlib
+    from rdbms_subsetter_spark.session import stable_suffix
 
     cat = Catalog(spark, sf_dir)
-    view = f"__pipe_orders_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    view = f"__pipe_orders_{stable_suffix(sf_dir)}"
     cat["orders"].createOrReplaceTempView(view)
     try:
         return spark.sql(

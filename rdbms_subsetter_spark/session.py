@@ -50,3 +50,12 @@ def pin_session_conf(spark: SparkSession) -> None:
     # natively ([PARQUET_TYPE_ILLEGAL]); read it as long and convert
     # (Catalog.table rebuilds the µs timestamp column).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def stable_suffix(s: str) -> str:
+    """12-hex-digit md5 digest of ``s`` — the process-stable naming
+    suffix for temp views and scratch paths (``hash()`` is
+    PYTHONHASHSEED-randomized and would vary per process)."""
+    import hashlib
+
+    return hashlib.md5(s.encode()).hexdigest()[:12]

@@ -133,20 +133,23 @@ def run_stream_to_memory(
 
 
 def _final_watermark(q) -> "object | None":
-    """Parse the final global watermark (UTC) out of a finished query's
-    last progress report; None when no event-time watermark exists or
-    no batch ran."""
-    from datetime import datetime, timezone
+    """Parse the final global watermark out of a finished query's last
+    progress report (naive UTC — the session timezone is pinned UTC);
+    None when no event-time watermark exists or no batch ran.
+
+    Truncated to WHOLE SECONDS: the engine already truncates the
+    watermark to milliseconds while raw event times carry microseconds,
+    so any cut derived from it must land on a grid both an oracle (from
+    raw max(ts)) and the engine (from the ms-truncated watermark) agree
+    on — floor_s(floor_ms(x)) == floor_s(x) for every x, whole seconds
+    are that grid."""
+    from datetime import datetime
 
     prog = q.lastProgress
     wm = (prog or {}).get("eventTime", {}).get("watermark")
     if not wm:
         return None
-    return (
-        datetime.strptime(wm, "%Y-%m-%dT%H:%M:%S.%fZ")
-        .replace(tzinfo=timezone.utc)
-        .replace(tzinfo=None)
-    )
+    return datetime.strptime(wm, "%Y-%m-%dT%H:%M:%S.%fZ").replace(microsecond=0)
 
 
 def stateful_user_totals(events: DataFrame) -> DataFrame:
@@ -601,7 +604,14 @@ def streaming_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it, minus 1 s for ms truncation / eviction-compare strictness
     wm = progress.get("watermark")
     if wm is None:
-        return out.filter(F.lit(False))
+        # a bounded replay over real events must report a watermark;
+        # its absence is a harness fault, not an empty region — fail
+        # loudly rather than publish a silently-wrong empty result
+        raise RuntimeError(
+            "streaming_stream_join_outer: finished query reported no "
+            "event-time watermark (noDataMicroBatches disabled, or no "
+            "input rows?)"
+        )
     return out.filter(
         F.col("click_ts")
         < F.lit(wm) - F.expr("INTERVAL 1 HOUR") - F.expr("INTERVAL 1 SECOND")
@@ -660,7 +670,11 @@ def streaming_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wm = progress.get("watermark")
     if wm is None:
-        return out.filter(F.lit(False)).drop("day_end")
+        raise RuntimeError(
+            "streaming_chained_agg: finished query reported no "
+            "event-time watermark (noDataMicroBatches disabled, or no "
+            "input rows?)"
+        )
     return out.filter(
         F.col("day_end") < F.lit(wm) - F.expr("INTERVAL 1 SECOND")
     ).drop("day_end")
