@@ -13,9 +13,28 @@ SF_MED = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    from rdbms_subsetter_spark.session import get_spark
+    import os
 
-    spark = get_spark("tests")
+    if os.environ.get("PARITY_VANILLA"):
+        # Adversarial driver mirror: a session WE did not configure —
+        # vanilla builder, non-UTC timezone, none of get_spark's pinned
+        # confs.  Every queries() entry must self-pin what it needs
+        # (Catalog.__init__ -> pin_session_conf); running the parity
+        # suite under PARITY_VANILLA=1 proves that battery-wide.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("tests-vanilla")
+            .config("spark.sql.session.timeZone", "America/New_York")
+            .config("spark.driver.memory", "16g")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        from rdbms_subsetter_spark.session import get_spark
+
+        spark = get_spark("tests")
     yield spark
     spark.stop()
 
