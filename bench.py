@@ -148,6 +148,7 @@ HEADLINE = [
     "ann_srp_fixture",
     "embed_pca_fixture",
     "agg_sketch_error_bounds",
+    "join_runtime_bloom",
 ]
 
 

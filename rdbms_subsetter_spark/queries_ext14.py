@@ -335,6 +335,67 @@ GROUP BY l_returnflag
 """
 
 
+_BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # let the tiny gate-scale build side qualify; production keeps the
+    # default thresholds and lets the optimizer decide
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    # force a shuffle join so the runtime filter has a scan to protect
+    # (a broadcast join already prunes the probe side by definition)
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def q_join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join: Spark injects a ``bloom_filter_agg``
+    built from the selective build side (urgent orders) into the probe
+    side's scan, so lineitem rows whose key cannot match are dropped AT
+    THE SCAN, before the shuffle — the core 100 TB scan-reduction
+    mechanism for selective fact-to-fact joins where neither side
+    broadcasts.  Results are exactly a plain join (the filter only
+    skips provably-unmatchable rows); the oracle is that plain join.
+
+    The aggregate is materialized inside the conf window (try/finally
+    restores every touched conf) because runtime-filter injection
+    happens at optimization time; ``tests/test_operators.py`` asserts
+    the bloom aggregate is actually present in the executed plan."""
+    cat = Catalog(spark, sf_dir)
+    prev = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    try:
+        for k, v in _BLOOM_CONFS.items():
+            spark.conf.set(k, v)
+        o = cat["orders"].where(F.col("o_orderpriority") == "1-URGENT").select(
+            "o_orderkey"
+        )
+        li = cat["lineitem"].select("l_orderkey", "l_returnflag", "l_extendedprice")
+        j = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            )
+        )
+        rows = j.collect()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(rows, j.schema)
+
+
+_SQL_RUNTIME_BLOOM = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l_extendedprice), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # Crawl-curation operators: per-source caps, paragraph dedup, corpus
 # overlap, balanced eval sampling, kNN graph
@@ -1864,6 +1925,7 @@ def ext14_queries() -> dict:
         "ann_srp_fixture": q_ann_srp_fixture,
         "embed_pca_fixture": q_embed_pca_fixture,
         "agg_sketch_error_bounds": q_agg_sketch_error_bounds,
+        "join_runtime_bloom": q_join_runtime_bloom,
     }
 
 
@@ -1906,4 +1968,5 @@ def ext14_oracles() -> dict:
         "ann_srp_fixture": _SQL_SRP_FIXTURE,
         "embed_pca_fixture": _SQL_PCA_FIXTURE,
         "agg_sketch_error_bounds": _SQL_SKETCH_BOUNDS,
+        "join_runtime_bloom": _SQL_RUNTIME_BLOOM,
     }

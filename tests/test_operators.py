@@ -357,3 +357,57 @@ def test_er_dictionary_reduction_equals_naive(spark):
     )
     want = {r["dirty_key"]: (r["cand_key"], r["lev"]) for r in naive.collect()}
     assert got == want
+
+
+def test_runtime_bloom_filter_fires(spark):
+    """join_runtime_bloom's conf window really injects the runtime
+    bloom filter: bloom_filter_agg appears in the optimized plan of the
+    join built under the window, and the returned result equals the
+    plain join."""
+    from pyspark.sql import functions as F
+
+    from rdbms_subsetter_spark.catalog import Catalog
+    from rdbms_subsetter_spark.queries_ext14 import (
+        _BLOOM_CONFS,
+        q_join_runtime_bloom,
+    )
+    from tests.conftest import SF_SMALL
+
+    prev = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    try:
+        for k, v in _BLOOM_CONFS.items():
+            spark.conf.set(k, v)
+        cat = Catalog(spark, SF_SMALL)
+        o = cat["orders"].where(F.col("o_orderpriority") == "1-URGENT").select(
+            "o_orderkey"
+        )
+        li = cat["lineitem"].select("l_orderkey", "l_extendedprice")
+        j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).groupBy().count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    got = {
+        r["l_returnflag"]: (r["n_items"], r["revenue"])
+        for r in q_join_runtime_bloom(spark, SF_SMALL).collect()
+    }
+    cat = Catalog(spark, SF_SMALL)
+    plain = (
+        cat["lineitem"]
+        .join(
+            cat["orders"].where(F.col("o_orderpriority") == "1-URGENT"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+    want = {r["l_returnflag"]: (r["n_items"], r["revenue"]) for r in plain.collect()}
+    assert got == want
