@@ -846,8 +846,14 @@ def q_pysource_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("id").alias("min_id"),
         F.max("id").alias("max_id"),
     )
+    # 5 groups of state: 2 partitions, same sizing rule as the other
+    # small-state replays
     return run_stream_to_memory(
-        spark, agg, name="pysource_stream_agg", output_mode="complete"
+        spark,
+        agg,
+        name="pysource_stream_agg",
+        output_mode="complete",
+        state_partitions=2,
     )
 
 

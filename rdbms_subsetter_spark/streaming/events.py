@@ -230,6 +230,10 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         hourly_agg(events_stream(spark, sf_dir)),
         name="stream_hourly_counts",
         output_mode="complete",
+        # hours x event_types of window state: 2 partitions (measured
+        # 1.8 -> 1.3 s; the python-stateful entries keep 8 for worker
+        # parallelism)
+        state_partitions=2,
     )
     return out.orderBy("hour_start", "event_type")
 
@@ -251,6 +255,7 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys.dropDuplicates(["user_id", "event_type"]),
         name="stream_dedup_keys",
         output_mode="append",
+        state_partitions=2,  # key-pair state only (measured 1.0 -> 0.6 s)
     )
     return out
 
@@ -473,6 +478,7 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         sliding_agg(events_stream(spark, sf_dir)),
         name="stream_sliding_counts",
         output_mode="complete",
+        state_partitions=2,  # sliding-window state (measured 1.5 -> 1.3 s)
     )
     return out.orderBy("window_start", "event_type")
 
@@ -531,7 +537,11 @@ def streaming_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(s3.cast("long")).alias("n_length"),
     )
     return run_stream_to_memory(
-        spark, agg, name="stream_curation_funnel", output_mode="complete"
+        spark,
+        agg,
+        name="stream_curation_funnel",
+        output_mode="complete",
+        state_partitions=2,  # one global-aggregate row of state
     )
 
 
