@@ -149,6 +149,7 @@ HEADLINE = [
     "embed_pca_fixture",
     "agg_sketch_error_bounds",
     "join_runtime_bloom",
+    "streaming_dedup_ttl",
 ]
 
 

@@ -386,6 +386,23 @@ def q_join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, j.schema)
 
 
+def q_streaming_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See streaming.events.streaming_dedup_ttl: bounded-state streaming
+    dedup (dropDuplicatesWithinWatermark, the unbounded-key-space
+    production form); delay > replay span makes the emitted key set
+    equal batch DISTINCT, graded as per-type unique-user counts."""
+    from rdbms_subsetter_spark.streaming.events import streaming_dedup_ttl
+
+    return streaming_dedup_ttl(spark, sf_dir)
+
+
+_SQL_DEDUP_TTL = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_unique_users
+FROM events
+GROUP BY event_type
+"""
+
+
 _SQL_RUNTIME_BLOOM = """
 SELECT l_returnflag,
        CAST(count(*) AS BIGINT) AS n_items,
@@ -1932,6 +1949,7 @@ def ext14_queries() -> dict:
         "embed_pca_fixture": q_embed_pca_fixture,
         "agg_sketch_error_bounds": q_agg_sketch_error_bounds,
         "join_runtime_bloom": q_join_runtime_bloom,
+        "streaming_dedup_ttl": q_streaming_dedup_ttl,
     }
 
 
@@ -1975,4 +1993,5 @@ def ext14_oracles() -> dict:
         "embed_pca_fixture": _SQL_PCA_FIXTURE,
         "agg_sketch_error_bounds": _SQL_SKETCH_BOUNDS,
         "join_runtime_bloom": _SQL_RUNTIME_BLOOM,
+        "streaming_dedup_ttl": _SQL_DEDUP_TTL,
     }

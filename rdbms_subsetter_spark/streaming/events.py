@@ -260,6 +260,40 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def streaming_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with BOUNDED state: ``dropDuplicatesWithinWatermark``
+    keeps a key in the store only until the watermark passes its event
+    time plus the delay — the production dedup for UNBOUNDED key spaces
+    (plain dropDuplicates state grows forever).  The plan carries the
+    dedup-within-watermark operator with a state TTL.
+
+    Graded deterministically: the delay (365 days) exceeds the replay's
+    whole time span, so no key expires mid-replay and the emitted key
+    set equals batch DISTINCT; the projection to key columns before the
+    dedup makes WHICH row wins irrelevant.  The per-type unique-user
+    counts are then a plain batch aggregate over the sink —
+    DuckDB-checkable.  In production the delay is the real dedup
+    horizon (hours), and state is bounded by keys-per-horizon instead
+    of all-keys-ever."""
+    keys = (
+        events_stream(spark, sf_dir)
+        .select("ts", "user_id", "event_type")
+        .withWatermark("ts", "365 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    out = run_stream_to_memory(
+        spark,
+        keys,
+        name="stream_dedup_ttl",
+        output_mode="append",
+        state_partitions=2,
+    )
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_unique_users")
+    )
+
+
 def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the event stream enriched with the static
     customer dimension (no watermark needed — the static side is simply
