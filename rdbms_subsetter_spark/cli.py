@@ -111,13 +111,15 @@ def main(argv: list[str] | None = None) -> int:
     dest_is_jdbc = args.dest.startswith("jdbc:")
     if dest_is_jdbc:
         if args.schema:
-            # directory-mapped schema scoping has no JDBC equivalent
-            # here; silently dropping the flag would land tables in the
-            # destination's default schema against the documented
-            # contract
-            print("--schema is not supported with a jdbc: destination",
-                  file=sys.stderr)
-            return 2
+            # SOURCE-side scoping (SRC/SCHEMA) still applies; the
+            # DESTINATION mapping has no JDBC equivalent here, so say
+            # so loudly instead of silently honoring only half the flag
+            print(
+                "warning: jdbc: destination ignores the --schema "
+                "destination mapping (tables land unqualified); the "
+                "source-side SRC/SCHEMA scoping still applies",
+                file=sys.stderr,
+            )
         dest = args.dest
         jdbc_driver = args.jdbc_driver
         if jdbc_driver is None:

@@ -359,11 +359,10 @@ def q_join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     restores every touched conf) because runtime-filter injection
     happens at optimization time; ``tests/test_operators.py`` asserts
     the bloom aggregate is actually present in the executed plan."""
+    from rdbms_subsetter_spark.session import conf_window
+
     cat = Catalog(spark, sf_dir)
-    prev = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
-    try:
-        for k, v in _BLOOM_CONFS.items():
-            spark.conf.set(k, v)
+    with conf_window(spark, _BLOOM_CONFS):
         o = cat["orders"].where(F.col("o_orderpriority") == "1-URGENT").select(
             "o_orderkey"
         )
@@ -377,12 +376,6 @@ def q_join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         rows = j.collect()
-    finally:
-        for k, v in prev.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
     return spark.createDataFrame(rows, j.schema)
 
 

@@ -59,3 +59,27 @@ def stable_suffix(s: str) -> str:
     import hashlib
 
     return hashlib.md5(s.encode()).hexdigest()[:12]
+
+
+def conf_window(spark: SparkSession, confs: dict):
+    """Context manager: set runtime SQL confs, restore (or unset) every
+    touched key on exit — for operators that need optimizer behavior
+    switched on only around their own materialization (e.g. the runtime
+    bloom-filter join) without leaking into the caller's session."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _window():
+        prev = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            yield
+        finally:
+            for k, v in prev.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+    return _window()

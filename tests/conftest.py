@@ -21,13 +21,17 @@ def spark():
         # confs.  Every queries() entry must self-pin what it needs
         # (Catalog.__init__ -> pin_session_conf); running the parity
         # suite under PARITY_VANILLA=1 proves that battery-wide.
+        import os as _os
+
         from pyspark.sql import SparkSession
 
+        cpus = _os.environ.get("SPARK_GRAFT_CPUS", "32")
+        mem = _os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
         spark = (
-            SparkSession.builder.master("local[32]")
+            SparkSession.builder.master(f"local[{cpus}]")
             .appName("tests-vanilla")
             .config("spark.sql.session.timeZone", "America/New_York")
-            .config("spark.driver.memory", "16g")
+            .config("spark.driver.memory", mem)
             .config("spark.ui.enabled", "false")
             .getOrCreate()
         )

@@ -373,10 +373,9 @@ def test_runtime_bloom_filter_fires(spark):
     )
     from tests.conftest import SF_SMALL
 
-    prev = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
-    try:
-        for k, v in _BLOOM_CONFS.items():
-            spark.conf.set(k, v)
+    from rdbms_subsetter_spark.session import conf_window
+
+    with conf_window(spark, _BLOOM_CONFS):
         cat = Catalog(spark, SF_SMALL)
         o = cat["orders"].where(F.col("o_orderpriority") == "1-URGENT").select(
             "o_orderkey"
@@ -385,12 +384,6 @@ def test_runtime_bloom_filter_fires(spark):
         j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).groupBy().count()
         plan = j._jdf.queryExecution().optimizedPlan().toString()
         assert "bloom_filter_agg" in plan, plan[:2000]
-    finally:
-        for k, v in prev.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
 
     got = {
         r["l_returnflag"]: (r["n_items"], r["revenue"])
