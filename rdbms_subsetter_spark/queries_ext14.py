@@ -271,13 +271,18 @@ def q_agg_sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only ``agg_approx_sketches`` entry.  Sketch estimates are
     engine-specific, so instead of comparing values the query computes
     BOTH the sketch and the exact answer per group in Spark and emits
-    booleans asserting the published error contracts — the oracle
-    computes the exact counts from the data and asserts the booleans
-    TRUE, so any accuracy regression in the HLL++ / quantile-sketch
-    path breaks the hash:
+    booleans asserting the error contracts — the oracle computes the
+    exact counts from the data and asserts the booleans TRUE, so any
+    accuracy regression in the HLL++ / quantile-sketch path breaks the
+    hash:
 
-    * ``approx_count_distinct(rsd=0.02)`` within 3·rsd of exact
-      (and never off by less than 1 whole count for tiny groups);
+    * ``approx_count_distinct(rsd=0.02)`` within 3·rsd of exact (±1
+      minimum slack).  NOTE: rsd is a standard deviation, not a
+      worst-case bound — adversarial hash-collision sets can exceed
+      any fixed bound (see tests/test_round4_property.py) — but the
+      estimate is DETERMINISTIC per input, so on the fixed gate
+      datasets this boolean is a stable verified fact, which is
+      exactly what the hash gate needs;
     * ``percentile_approx(p, accuracy=10000)`` bracketed by the
       discrete percentiles at p ± 2/accuracy from a 2×-finer sketch:
       the median's rank error is ≤ n/10⁴ while the bound elements sit

@@ -22,23 +22,35 @@ SLOW = settings(
         st.integers(min_value=0, max_value=500), min_size=20, max_size=300
     ),
 )
-def test_sketch_bounds_hold_on_arbitrary_data(spark, vals):
-    """The same error contracts agg_sketch_error_bounds grades on the
-    testdata hold on arbitrary integer columns: HLL++ distinct within
-    3·rsd of exact, percentile_approx(0.5, acc) inside the discrete
-    band from a 2×-finer sketch at p ± 2/acc."""
+def test_sketch_hard_guarantees_hold_on_arbitrary_data(spark, vals):
+    """Only the sketches' HARD guarantees are property-testable: the
+    quantile sketch's rank-error bound is deterministic worst-case
+    (Greenwald-Khanna), so the p ± 2/acc bracket from a 2×-finer
+    sketch must hold on ANY input, and both sketches must be
+    deterministic (same input → same estimate).
+
+    Deliberately NOT asserted here: a fixed accuracy bound for
+    approx_count_distinct.  HLL++'s rsd is a standard deviation, not a
+    worst-case bound — hypothesis finds hash-collision value sets where
+    5 distinct longs estimate as 3 (40% error), so any fixed bound is
+    falsifiable by adversarial search.  The 3·rsd accuracy claim is
+    checked where it is meaningful: on the FIXED gate datasets
+    (agg_sketch_error_bounds at three scales), where the deterministic
+    estimate is verified in-bound."""
     acc = 10_000
     eps = 2.0 / acc
     df = spark.createDataFrame([(int(v),) for v in vals], "x long")
-    r = df.agg(
-        F.countDistinct("x").alias("exact"),
+    agg = df.agg(
         F.approx_count_distinct("x", rsd=0.02).alias("approx"),
         F.percentile_approx("x", 0.5, acc).alias("a_med"),
         F.percentile_approx("x", 0.5 - eps, 2 * acc).alias("lo"),
         F.percentile_approx("x", 0.5 + eps, 2 * acc).alias("hi"),
-    ).collect()[0]
-    assert abs(r["approx"] - r["exact"]) <= max(1.0, 0.06 * r["exact"]), r
-    assert r["lo"] <= r["a_med"] <= r["hi"], r
+    )
+    r1 = agg.collect()[0]
+    r2 = agg.collect()[0]
+    assert r1 == r2  # sketches are deterministic
+    assert r1["lo"] <= r1["a_med"] <= r1["hi"], r1  # hard rank bound
+    assert r1["approx"] >= 1  # sanity: non-degenerate estimate
 
 
 @SLOW
