@@ -150,6 +150,7 @@ HEADLINE = [
     "agg_sketch_error_bounds",
     "join_runtime_bloom",
     "streaming_dedup_ttl",
+    "merge_partition_pruned",
 ]
 
 

@@ -411,6 +411,113 @@ GROUP BY l_returnflag
 """
 
 
+def merge_partition_pruned_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build the partitioned base table and MERGE updates into it via
+    DYNAMIC PARTITION OVERWRITE; return the table path.
+
+    This is the no-lakehouse answer to ``MERGE INTO`` at 100 TB
+    (`subsetter.py` writes row-at-a-time into a live RDBMS; a Delta/
+    Iceberg jar is absent from this sandbox — SCALE.md): keep the base
+    partitioned on a key-derived column, compute the merged rows for
+    ONLY the partitions that contain updated keys, and overwrite in
+    ``partitionOverwriteMode=dynamic`` so untouched partition
+    directories are never read OR rewritten.  Write cost is
+    ∝ touched partitions, not table size — vs the full snapshot
+    rewrite of ``merge_upsert_latest``.
+
+    Determinism: step 1 rewrites the whole base in static mode, so
+    every run starts from the same snapshot; the merge source is the
+    original catalog table, never the scratch dir being overwritten
+    (Spark refuses to overwrite a path it is reading from).
+    ``tests/test_operators.py`` asserts the pruning for real: files of
+    an untouched partition are byte-identical after the merge.
+    """
+    import os
+    import tempfile
+
+    from rdbms_subsetter_spark.session import conf_window, stable_suffix
+
+    cat = Catalog(spark, sf_dir)
+    out = os.path.join(tempfile.gettempdir(), f"rss_merge_{stable_suffix(sf_dir)}")
+    base = cat["customer"].select(
+        "c_custkey",
+        F.round(F.col("c_acctbal"), 2).alias("balance"),
+        F.lit(False).alias("updated"),
+        F.col("c_nationkey").alias("nation"),
+    )
+    base.write.mode("overwrite").partitionBy("nation").parquet(out)
+
+    latest = (
+        cat["events"]
+        .where(F.col("value").isNotNull())
+        .groupBy(F.col("user_id").alias("c_custkey"))
+        .agg(
+            F.round(
+                F.max_by(F.col("value"), F.struct(F.col("ts"), F.col("event_id"))), 2
+            ).alias("new_bal")
+        )
+    )
+    nations = cat["customer"].select("c_custkey", F.col("c_nationkey").alias("nation"))
+    upd = latest.join(nations, on="c_custkey").where(F.col("nation") < 5)
+    merged = (
+        cat["customer"]
+        .where(F.col("c_nationkey") < 5)
+        .select(
+            "c_custkey",
+            F.round(F.col("c_acctbal"), 2).alias("balance"),
+            F.col("c_nationkey").alias("nation"),
+        )
+        .join(F.broadcast(upd.select("c_custkey", "new_bal")), on="c_custkey", how="left")
+        .select(
+            "c_custkey",
+            F.coalesce("new_bal", "balance").alias("balance"),
+            F.col("new_bal").isNotNull().alias("updated"),
+            "nation",
+        )
+    )
+    with conf_window(
+        spark, {"spark.sql.sources.partitionOverwriteMode": "dynamic"}
+    ):
+        merged.write.mode("overwrite").partitionBy("nation").parquet(out)
+    return out
+
+
+def q_merge_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE via dynamic partition overwrite (see
+    merge_partition_pruned_table), graded as the per-nation audit of the
+    merged table: row count, rows updated, exact balance total in cents
+    (integer sum — immune to float summation order)."""
+    out = merge_partition_pruned_table(spark, sf_dir)
+    tbl = spark.read.parquet(out)
+    return tbl.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("updated").cast("long")).alias("n_updated"),
+        F.sum(F.round(F.col("balance") * 100).cast("long")).alias("balance_cents"),
+    )
+
+
+_SQL_MERGE_PARTITION_PRUNED = """
+WITH latest AS (
+    SELECT c_custkey, new_bal FROM (
+        SELECT user_id AS c_custkey, ROUND(value, 2) AS new_bal,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE value IS NOT NULL) WHERE rn = 1
+)
+SELECT c.c_nationkey AS nation,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN u.c_custkey IS NOT NULL AND c.c_nationkey < 5
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+       CAST(sum(CAST(ROUND(100 * (CASE WHEN u.c_custkey IS NOT NULL
+                                        AND c.c_nationkey < 5
+                                       THEN u.new_bal
+                                       ELSE ROUND(c.c_acctbal, 2) END))
+                AS BIGINT)) AS BIGINT) AS balance_cents
+FROM customer c LEFT JOIN latest u ON c.c_custkey = u.c_custkey
+GROUP BY c.c_nationkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # Crawl-curation operators: per-source caps, paragraph dedup, corpus
 # overlap, balanced eval sampling, kNN graph
@@ -1948,6 +2055,7 @@ def ext14_queries() -> dict:
         "agg_sketch_error_bounds": q_agg_sketch_error_bounds,
         "join_runtime_bloom": q_join_runtime_bloom,
         "streaming_dedup_ttl": q_streaming_dedup_ttl,
+        "merge_partition_pruned": q_merge_partition_pruned,
     }
 
 
@@ -1992,4 +2100,5 @@ def ext14_oracles() -> dict:
         "agg_sketch_error_bounds": _SQL_SKETCH_BOUNDS,
         "join_runtime_bloom": _SQL_RUNTIME_BLOOM,
         "streaming_dedup_ttl": _SQL_DEDUP_TTL,
+        "merge_partition_pruned": _SQL_MERGE_PARTITION_PRUNED,
     }

@@ -404,3 +404,66 @@ def test_runtime_bloom_filter_fires(spark):
     )
     want = {r["l_returnflag"]: (r["n_items"], r["revenue"]) for r in plain.collect()}
     assert got == want
+
+
+def test_merge_partition_pruned_rewrites_only_touched_partitions(spark):
+    """The dynamic-overwrite MERGE's scale contract, asserted on real
+    files: after the merge, every UNTOUCHED partition directory
+    (nation >= 5) is byte-identical to the pre-merge base write, while
+    every touched partition (nation < 5 with updates) was rewritten.
+    This is the property that makes the write cost ∝ touched
+    partitions instead of table size."""
+    import hashlib
+    import os
+
+    from rdbms_subsetter_spark.queries_ext14 import (
+        merge_partition_pruned_table,
+        q_merge_partition_pruned,
+    )
+    from tests.conftest import SF_SMALL
+
+    def digest(root):
+        out = {}
+        for dirpath, _dirs, files in os.walk(root):
+            part = os.path.relpath(dirpath, root)
+            # compare CONTENT digests only: writer task UUIDs in file
+            # names change on every write, bytes are the contract
+            for f in files:
+                if f.endswith(".parquet"):
+                    h = hashlib.md5(
+                        open(os.path.join(dirpath, f), "rb").read()
+                    ).hexdigest()
+                    out.setdefault(part, []).append(h)
+        for part in out:
+            out[part] = sorted(out[part])
+        return out
+
+    out = merge_partition_pruned_table(spark, SF_SMALL)
+    merged = digest(out)
+    # re-run only step 1 (static full base rewrite) to recover the
+    # pre-merge state of every partition, then compare
+    from pyspark.sql import functions as F
+
+    from rdbms_subsetter_spark.catalog import Catalog
+
+    cat = Catalog(spark, SF_SMALL)
+    base = cat["customer"].select(
+        "c_custkey",
+        F.round(F.col("c_acctbal"), 2).alias("balance"),
+        F.lit(False).alias("updated"),
+        F.col("c_nationkey").alias("nation"),
+    )
+    base.write.mode("overwrite").partitionBy("nation").parquet(out)
+    pre = digest(out)
+
+    untouched = [p for p in pre if p.startswith("nation=") and int(p.split("=")[1]) >= 5]
+    assert untouched, "fixture must have nations >= 5"
+    for p in untouched:
+        assert merged[p] == pre[p], f"untouched partition {p} was rewritten"
+
+    res = {r["nation"]: r["n_updated"] for r in q_merge_partition_pruned(spark, SF_SMALL).collect()}
+    touched = [p for p in pre if p.startswith("nation=") and int(p.split("=")[1]) < 5
+               and res.get(int(p.split("=")[1]), 0) > 0]
+    for p in touched:
+        assert merged[p] != pre[p], f"touched partition {p} not rewritten"
+    assert any(res[n] > 0 for n in res if n < 5), "fixture produced no updates"
