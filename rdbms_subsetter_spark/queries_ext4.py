@@ -362,10 +362,9 @@ def q_pysource_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle reproduces them from generate_series bit-exactly."""
     from rdbms_subsetter_spark.sources.pysource import RangeGenDataSource
 
-    try:
-        spark.dataSource.register(RangeGenDataSource)
-    except Exception:
-        pass  # already registered in this session
+    # re-registration is a plain overwrite in PySpark 4 (verified: no
+    # exception on double register), so no guard is needed
+    spark.dataSource.register(RangeGenDataSource)
     df = (
         spark.read.format("rangegen")
         .option("partitions", 8)

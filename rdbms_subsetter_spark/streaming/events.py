@@ -274,7 +274,31 @@ def streaming_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts are then a plain batch aggregate over the sink —
     DuckDB-checkable.  In production the delay is the real dedup
     horizon (hours), and state is bounded by keys-per-horizon instead
-    of all-keys-ever."""
+    of all-keys-ever.
+
+    The delay > span precondition is ASSERTED at runtime (one 1-row
+    aggregate on the static table): on a dataset spanning longer than
+    the delay, expired keys would re-emit and silently overcount vs the
+    batch-DISTINCT oracle — better to fail loudly than grade wrong."""
+    from rdbms_subsetter_spark.catalog import Catalog
+
+    delay_s = 365 * 24 * 3600
+    span_row = (
+        Catalog(spark, sf_dir)["events"]
+        .agg(
+            (
+                F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+            ).alias("span_s")
+        )
+        .collect()[0]
+    )
+    span_s = span_row["span_s"] or 0
+    if span_s >= delay_s:
+        raise ValueError(
+            f"streaming_dedup_ttl: events span {span_s}s >= dedup delay "
+            f"{delay_s}s; emitted keys would no longer equal batch DISTINCT "
+            "(expired keys re-emit). Raise the delay for this dataset."
+        )
     keys = (
         events_stream(spark, sf_dir)
         .select("ts", "user_id", "event_type")

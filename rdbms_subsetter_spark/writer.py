@@ -74,9 +74,15 @@ def write_subset_jdbc(
 
     This is the reference's actual destination shape
     (`subsetter.py::Db.create_row_in` inserts into a live RDBMS), done
-    set-at-a-time: parents land before children so a destination with
-    enforced FK constraints accepts every batch.  The sink itself is
-    the batched ``write_jdbc`` (one round-trip per batch, not per row).
+    set-at-a-time.  The FK-safety claim is mode-specific: with
+    ``mode='append'`` into a pre-created schema with enforced FK
+    constraints, parents-first order means every batch is accepted.
+    The default ``mode='overwrite'`` DROPs and recreates each table
+    (and Spark's JDBC writer emits no constraint DDL), so it assumes a
+    constraint-free destination — dropping a parent that an existing
+    child FK references would be rejected by the database regardless
+    of order.  The sink itself is the batched ``write_jdbc`` (one
+    round-trip per batch, not per row).
     """
     from rdbms_subsetter_spark.sources.io import write_jdbc
 

@@ -84,14 +84,26 @@ def test_pca_fixture_operator_agrees(spark):
     assert got == sorted(pca_expect_rounded())
 
 
-def test_sketch_bounds_all_true(spark):
-    """Every accuracy boolean is TRUE at test scale — the same assertion
-    the driver's hash gate makes against the literal-TRUE oracle."""
+def test_sketch_bounds_all_true_every_sf(spark):
+    """Every accuracy boolean is TRUE at EVERY scale factor present
+    under the testdata root — the same assertion the driver's hash gate
+    makes against the literal-TRUE oracle, automated across scales so
+    grading at a scale factor the bound was never hand-verified on
+    cannot silently flip it (ADVICE r04)."""
+    import glob
+    import os
+
     from tests.conftest import SF_SMALL
 
     from rdbms_subsetter_spark.queries_ext14 import q_agg_sketch_error_bounds
 
-    rows = q_agg_sketch_error_bounds(spark, SF_SMALL).collect()
-    assert rows
-    for r in rows:
-        assert r["supp_ok"] and r["part_ok"] and r["median_ok"], r
+    root = os.path.dirname(SF_SMALL.rstrip("/"))
+    sf_dirs = sorted(
+        d for d in glob.glob(os.path.join(root, "sf*"))
+        if os.path.exists(os.path.join(d, "lineitem.parquet"))
+    ) or [SF_SMALL]
+    for sf_dir in sf_dirs:
+        rows = q_agg_sketch_error_bounds(spark, sf_dir).collect()
+        assert rows, sf_dir
+        for r in rows:
+            assert r["supp_ok"] and r["part_ok"] and r["median_ok"], (sf_dir, r)

@@ -408,11 +408,11 @@ def test_runtime_bloom_filter_fires(spark):
 
 def test_merge_partition_pruned_rewrites_only_touched_partitions(spark):
     """The dynamic-overwrite MERGE's scale contract, asserted on real
-    files: after the merge, every UNTOUCHED partition directory
-    (nation >= 5) is byte-identical to the pre-merge base write, while
-    every touched partition (nation < 5 with updates) was rewritten.
-    This is the property that makes the write cost ∝ touched
-    partitions instead of table size."""
+    files: after the merge, every UNTOUCHED partition directory (out of
+    merge scope OR in scope with zero updated keys) is byte-identical
+    to the pre-merge base write, while every touched partition
+    (nation < 5 with updates) was rewritten.  This is the property that
+    makes the write cost ∝ touched partitions instead of table size."""
     import hashlib
     import os
 
@@ -456,12 +456,18 @@ def test_merge_partition_pruned_rewrites_only_touched_partitions(spark):
     base.write.mode("overwrite").partitionBy("nation").parquet(out)
     pre = digest(out)
 
-    untouched = [p for p in pre if p.startswith("nation=") and int(p.split("=")[1]) >= 5]
+    res = {r["nation"]: r["n_updated"] for r in q_merge_partition_pruned(spark, SF_SMALL).collect()}
+    # untouched = outside the merge scope (nation >= 5) OR in scope but
+    # with zero updated keys — BOTH must be byte-identical (ADVICE r04:
+    # the in-scope-no-updates case is the one the touched-set semi-join
+    # exists for)
+    untouched = [p for p in pre if p.startswith("nation=")
+                 and (int(p.split("=")[1]) >= 5
+                      or res.get(int(p.split("=")[1]), 0) == 0)]
     assert untouched, "fixture must have nations >= 5"
     for p in untouched:
         assert merged[p] == pre[p], f"untouched partition {p} was rewritten"
 
-    res = {r["nation"]: r["n_updated"] for r in q_merge_partition_pruned(spark, SF_SMALL).collect()}
     touched = [p for p in pre if p.startswith("nation=") and int(p.split("=")[1]) < 5
                and res.get(int(p.split("=")[1]), 0) > 0]
     for p in touched:

@@ -33,7 +33,7 @@ def test_sketch_hard_guarantees_hold_on_arbitrary_data(spark, vals):
     approx_count_distinct.  HLL++'s rsd is a standard deviation, not a
     worst-case bound — hypothesis finds hash-collision value sets where
     5 distinct longs estimate as 3 (40% error), so any fixed bound is
-    falsifiable by adversarial search.  The 3·rsd accuracy claim is
+    falsifiable by adversarial search.  The 5·rsd accuracy claim is
     checked where it is meaningful: on the FIXED gate datasets
     (agg_sketch_error_bounds at three scales), where the deterministic
     estimate is verified in-bound."""
