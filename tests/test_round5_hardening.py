@@ -1,0 +1,199 @@
+"""Round-5 hardening: adversarial-data confirmation for the entries the
+round-4 advisor flagged as latent-fragile.  The full 436-test parity
+sweep exercises them on the driver's datasets; these tests exercise the
+SAME query-vs-oracle comparison on crafted data the testdata generator
+never emits (consecutive/leading/trailing spaces, empty and NULL text),
+so the `nullif`-parity claims hold by construction, not by luck.
+"""
+
+import os
+import tempfile
+
+import duckdb
+import pytest
+
+
+ADVERSARIAL_TEXTS = [
+    "alpha  beta gamma",        # consecutive spaces -> empty middle token
+    " lead tok three four",     # leading space -> empty first token
+    "trail two ",               # trailing space -> empty third token
+    "",                         # empty string
+    None,                       # NULL text
+    "one",                      # fewer tokens than K
+    "a b",                      # exactly K-1 tokens
+    "x y z w",                  # more tokens than K
+    "  ",                       # only spaces -> all tokens empty
+    "alpha  beta gamma",        # duplicate row: grouping must count 2
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_docs_dir(spark):
+    """A documents.parquet with the documents-table schema but
+    adversarial text values, in its own sf-style directory."""
+    out = os.path.join(tempfile.gettempdir(), "rss_r05_adversarial_docs")
+    rows = [
+        (i, t, "en", "synthetic", len(t) if t is not None else 0)
+        for i, t in enumerate(ADVERSARIAL_TEXTS)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+    return out
+
+
+def _duckdb_oracle(sql: str, sf_dir: str):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(sf_dir, 'documents.parquet', '*.parquet')}'"
+    )
+    return con.execute(sql).fetchall()
+
+
+def _canon(rows):
+    return sorted(
+        (tuple(r) for r in rows),
+        key=lambda t: tuple((v is None, v) for v in t),
+    )
+
+
+def test_lakehouse_merge_probe_and_fallback(spark):
+    """The Delta capability probe is honest in this sandbox (no jar ->
+    False) and merge_upsert_auto therefore takes the dynamic-overwrite
+    fallback, whose audit aggregate is identical to the graded
+    merge_partition_pruned entry — so adding the one jar upgrades the
+    engine without changing any result."""
+    from tests.conftest import SF_SMALL
+
+    from rdbms_subsetter_spark.operators.lakehouse import (
+        delta_merge_available,
+        merge_upsert_auto,
+        read_merged,
+    )
+    from rdbms_subsetter_spark.queries_ext14 import q_merge_partition_pruned
+    from pyspark.sql import functions as F
+
+    assert delta_merge_available(spark) is False
+
+    path, engine = merge_upsert_auto(spark, SF_SMALL)
+    assert engine == "dynamic-overwrite"
+
+    audit = (
+        read_merged(spark, path, engine)
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("updated").cast("long")).alias("n_updated"),
+            F.sum(F.round(F.col("balance") * 100).cast("long")).alias(
+                "balance_cents"
+            ),
+        )
+    )
+    got = sorted(tuple(r) for r in audit.collect())
+    want = sorted(tuple(r) for r in q_merge_partition_pruned(spark, SF_SMALL).collect())
+    assert got == want
+
+
+@pytest.fixture(scope="module")
+def adversarial_cogroup_dir(spark):
+    """events.parquet + orders.parquet shaped like the testdata but with
+    the cogroup edge cases: a user with events only, a user with orders
+    only, a user whose every event value is NULL, and a user with a
+    single row on each side."""
+    import datetime as dt
+
+    out = os.path.join(tempfile.gettempdir(), "rss_r05_adversarial_cogroup")
+    ts = dt.datetime(2024, 1, 1, 12, 0, 0)
+    events = [
+        # user 100: normal, two events (one NULL value mixed in)
+        (1, ts, 100, "click", 10.5, "{}"),
+        (2, ts, 100, "click", None, "{}"),
+        # user 200: events only, ALL values NULL (sum must read 0.0)
+        (3, ts, 200, "view", None, "{}"),
+        (4, ts, 200, "view", None, "{}"),
+        # user 400: single event
+        (5, ts, 400, "click", 2.25, "{}"),
+        # user 7: NOT in the % 100 == 0 slice -> must be excluded
+        (6, ts, 7, "click", 99.0, "{}"),
+    ]
+    orders = [
+        # user 100: one order
+        (1, 100, "O", 1000.0, ts, "1-URGENT"),
+        # user 300: orders only, two orders
+        (2, 300, "O", 10.0, ts, "2-HIGH"),
+        (3, 300, "F", 20.0, ts, "2-HIGH"),
+        # user 400: single order
+        (4, 400, "O", 5.5, ts, "3-MEDIUM"),
+        # user 7: excluded slice
+        (5, 7, "O", 77.0, ts, "1-URGENT"),
+    ]
+    spark.createDataFrame(
+        events,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "events.parquet")
+    )
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "orders.parquet")
+    )
+    return out
+
+
+def test_udf_cogrouped_merge_edge_groups_parity(spark, adversarial_cogroup_dir):
+    """The cogrouped reconciliation matches its FULL-OUTER-join oracle on
+    the edge groups the testdata can't guarantee: one-side-only keys,
+    all-NULL value groups (pandas skipna sum == SQL sum + coalesce), and
+    slice exclusion."""
+    from rdbms_subsetter_spark.queries_ext14 import (
+        _SQL_COGROUPED_MERGE,
+        q_udf_cogrouped_merge,
+    )
+
+    sf_dir = adversarial_cogroup_dir
+    got = _canon(
+        tuple(r)
+        for r in q_udf_cogrouped_merge(spark, sf_dir)
+        .select("user_id", "n_events", "n_orders", "event_value", "order_value")
+        .collect()
+    )
+    con = duckdb.connect()
+    for t in ("events", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{os.path.join(sf_dir, t + '.parquet', '*.parquet')}'"
+        )
+    want = _canon(con.execute(_SQL_COGROUPED_MERGE).fetchall())
+    assert got == want
+    users = {r[0] for r in got}
+    # every edge case present, excluded slice absent
+    assert users == {100, 200, 300, 400}
+
+
+def test_udtf_dynamic_schema_empty_token_parity(spark, adversarial_docs_dir):
+    """split_first_k's empty-token -> NULL convention matches the
+    oracle's nullif(split_part(...), '') on every adversarial shape:
+    consecutive, leading, trailing, all-space, empty, and NULL text
+    (ADVICE r04: 'confirm on data with consecutive spaces')."""
+    from rdbms_subsetter_spark.queries_ext14 import (
+        _SQL_UDTF_DYNAMIC,
+        q_udtf_dynamic_schema,
+    )
+
+    got = _canon(
+        (r["first_tok"], r["n_docs"], r["n_full_width"])
+        for r in q_udtf_dynamic_schema(spark, adversarial_docs_dir).collect()
+    )
+    want = _canon(_duckdb_oracle(_SQL_UDTF_DYNAMIC, adversarial_docs_dir))
+    assert got == want
+    # the crafted data must actually exercise the empty-token path:
+    # a NULL first_tok group exists (leading-space + empty + NULL text)
+    assert any(k[0] is None for k in got)
