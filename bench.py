@@ -151,6 +151,7 @@ HEADLINE = [
     "join_runtime_bloom",
     "streaming_dedup_ttl",
     "merge_partition_pruned",
+    "streaming_state_introspection",
 ]
 
 

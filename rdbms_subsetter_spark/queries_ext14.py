@@ -388,6 +388,23 @@ def q_join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, j.schema)
 
 
+def q_streaming_state_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See streaming.events.streaming_state_introspection: the Spark 4
+    state data source reads a finished dedup query's state store as a
+    table; dropDuplicates state == the distinct key set == batch
+    DISTINCT (the oracle)."""
+    from rdbms_subsetter_spark.streaming.events import (
+        streaming_state_introspection,
+    )
+
+    return streaming_state_introspection(spark, sf_dir)
+
+
+_SQL_STATE_INTROSPECTION = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
 def q_streaming_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """See streaming.events.streaming_dedup_ttl: bounded-state streaming
     dedup (dropDuplicatesWithinWatermark, the unbounded-key-space
@@ -2067,6 +2084,10 @@ def ext14_queries() -> dict:
         "join_runtime_bloom": q_join_runtime_bloom,
         "streaming_dedup_ttl": q_streaming_dedup_ttl,
         "merge_partition_pruned": q_merge_partition_pruned,
+        # r05: the ONE new entry this round (verdict allowed 1-2),
+        # registered last so the 34-entry never-graded backlog keeps
+        # grading positions 0-33 and this grades at position 34
+        "streaming_state_introspection": q_streaming_state_introspection,
     }
 
 
@@ -2112,4 +2133,5 @@ def ext14_oracles() -> dict:
         "join_runtime_bloom": _SQL_RUNTIME_BLOOM,
         "streaming_dedup_ttl": _SQL_DEDUP_TTL,
         "merge_partition_pruned": _SQL_MERGE_PARTITION_PRUNED,
+        "streaming_state_introspection": _SQL_STATE_INTROSPECTION,
     }

@@ -318,6 +318,64 @@ def streaming_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_state_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read a stateful streaming query's STATE STORE as a table — the
+    Spark 4 state data source (``spark.read.format("statestore")``),
+    the production tool for auditing/debugging stateful pipelines
+    without touching the live query (state cardinality, key skew by
+    partition, stuck-key forensics).
+
+    The run: the exactly-once key dedup replays bounded input to a noop
+    sink with a DURABLE checkpoint (``availableNow`` trigger), then the
+    dropDuplicates state files are loaded directly — no replay, no
+    running query.  dropDuplicates state IS the distinct key set, so
+    the read-back equals batch ``SELECT DISTINCT`` → hash-graded
+    against that oracle.
+
+    Scale shape: state files are already partitioned by shuffle
+    partition and the reader is a partition-parallel scan of the store
+    (HDFS/RocksDB-backed), so the audit cost is ∝ state size, never
+    ∝ stream history.  State partitions sized to state volume (4), as
+    fleet-wide for bounded local replays; the checkpoint dir is
+    process-stable (md5 of sf_dir) and wiped per run for a clean
+    deterministic replay."""
+    import os
+    import shutil
+    import tempfile
+
+    from rdbms_subsetter_spark.session import stable_suffix
+
+    ckpt = os.path.join(
+        tempfile.gettempdir(), f"rss_state_intro_{stable_suffix(sf_dir)}"
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    keys = (
+        events_stream(spark, sf_dir)
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            keys.writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("key.event_type").alias("event_type"),
+    )
+
+
 def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the event stream enriched with the static
     customer dimension (no watermark needed — the static side is simply

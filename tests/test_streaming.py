@@ -128,3 +128,29 @@ def test_transform_with_state_v2_when_available(spark):
         output_mode="update",
     )
     assert out.count() > 0
+
+
+def test_state_introspection_partition_parallel_and_restores_conf(spark):
+    """The state data source read is partition-parallel (state rows
+    carry multiple partition_ids — the audit scales with state files,
+    not stream history) and the shuffle-partition conf window is
+    restored after the run.  Value correctness vs batch DISTINCT is the
+    oracle-parity suite's job."""
+    import os
+    import tempfile
+
+    from rdbms_subsetter_spark.session import stable_suffix
+    from rdbms_subsetter_spark.streaming import events as se
+
+    sf = "/root/testdata/sf0.001"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    out = se.streaming_state_introspection(spark, sf)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+    ckpt = os.path.join(
+        tempfile.gettempdir(), f"rss_state_intro_{stable_suffix(sf)}"
+    )
+    raw = spark.read.format("statestore").load(ckpt)
+    n_parts = raw.select("partition_id").distinct().count()
+    assert n_parts > 1, "state read collapsed to a single partition"
+    assert out.count() == raw.count()
