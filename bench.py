@@ -152,6 +152,7 @@ HEADLINE = [
     "streaming_dedup_ttl",
     "merge_partition_pruned",
     "streaming_state_introspection",
+    "pysource_write_roundtrip",
 ]
 
 

@@ -405,6 +405,62 @@ SELECT DISTINCT user_id, event_type FROM events
 """
 
 
+def q_pysource_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE half of the Spark 4 Python DataSource API (the repo
+    already grades the batch- and stream-READ halves): documents are
+    written partition-parallel through the ``jsonlsink`` custom sink —
+    each task streams its rows to one uniquely-named file and returns a
+    commit message; the driver's commit writes a manifest listing
+    exactly the committed files — then read back HONORING THE MANIFEST
+    and aggregated per language.  Round-trip equality with the source
+    table is the graded contract (count + summed chars + id checksum
+    per language), so a lost task file, an orphan from a failed task,
+    or a miscounted commit all break the hash.
+
+    Scale shape: write is one map-only pass (O(1) memory per task, no
+    shuffle — task-commit/job-commit is the same two-phase protocol as
+    Spark's built-in file sinks); read-back is a manifest-scoped
+    parallel scan; one shuffle for the final small aggregate.
+
+    Reference: `subsetter.py::Db.create_row_in` (its sink is a live
+    RDBMS; this is the extension point for sinks Spark has no
+    connector for)."""
+    import os
+    import shutil
+    import tempfile
+
+    from rdbms_subsetter_spark.session import stable_suffix
+    from rdbms_subsetter_spark.sources.pysource import (
+        JsonlSinkDataSource,
+        read_jsonl_sink,
+    )
+
+    spark.dataSource.register(JsonlSinkDataSource)
+    out = os.path.join(
+        tempfile.gettempdir(), f"rss_jsonl_{stable_suffix(sf_dir)}"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    cat = Catalog(spark, sf_dir)
+    docs = cat["documents"].select("doc_id", "lang", "n_chars")
+    docs.write.format("jsonlsink").option("path", out).mode("append").save()
+    back = read_jsonl_sink(spark, out, "doc_id long, lang string, n_chars long")
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+
+
+_SQL_PYSOURCE_WRITE = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM documents
+GROUP BY lang
+"""
+
+
 def q_streaming_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """See streaming.events.streaming_dedup_ttl: bounded-state streaming
     dedup (dropDuplicatesWithinWatermark, the unbounded-key-space
@@ -2084,10 +2140,11 @@ def ext14_queries() -> dict:
         "join_runtime_bloom": q_join_runtime_bloom,
         "streaming_dedup_ttl": q_streaming_dedup_ttl,
         "merge_partition_pruned": q_merge_partition_pruned,
-        # r05: the ONE new entry this round (verdict allowed 1-2),
+        # r05: the TWO new entries this round (verdict allowed 1-2),
         # registered last so the 34-entry never-graded backlog keeps
-        # grading positions 0-33 and this grades at position 34
+        # grading positions 0-33 and these grade at positions 34-35
         "streaming_state_introspection": q_streaming_state_introspection,
+        "pysource_write_roundtrip": q_pysource_write_roundtrip,
     }
 
 
@@ -2134,4 +2191,5 @@ def ext14_oracles() -> dict:
         "streaming_dedup_ttl": _SQL_DEDUP_TTL,
         "merge_partition_pruned": _SQL_MERGE_PARTITION_PRUNED,
         "streaming_state_introspection": _SQL_STATE_INTROSPECTION,
+        "pysource_write_roundtrip": _SQL_PYSOURCE_WRITE,
     }

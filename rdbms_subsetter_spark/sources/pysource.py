@@ -26,8 +26,10 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 
@@ -105,3 +107,114 @@ class RangeGenStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start: dict, end: dict):
         return iter(self._rows(start["offset"], end["offset"]))
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource WRITER (the write half of the Spark 4 API; the
+# reference's sink is a live RDBMS — subsetter.py::Db.create_row_in —
+# this is the extension point for everything Spark lacks a connector
+# for: feature stores, internal services, bespoke file layouts)
+# ---------------------------------------------------------------------------
+
+
+class _FileCommitMessage(WriterCommitMessage):
+    """One data file written by one task: path + row count.  Collected
+    by the driver at commit time — the two-phase protocol that makes
+    the sink atomic (only committed files enter the manifest; aborted
+    or speculative task output is never referenced)."""
+
+    def __init__(self, path: str, n_rows: int) -> None:
+        self.path = path
+        self.n_rows = n_rows
+
+
+class JsonlSinkDataSource(DataSource):
+    """``jsonlsink``: partition-parallel JSON-lines sink with a commit
+    manifest.  Each task streams its partition to ONE uniquely named
+    ``part-<uuid>.jsonl`` under ``path`` (O(1) task memory — rows are
+    written as they arrive, never buffered); the driver's ``commit``
+    writes ``_manifest.json`` listing exactly the committed files and
+    their row counts.  Readers that honor the manifest get atomic
+    visibility: a crashed/speculative task's orphan file is simply
+    absent from it.  This is the same task-commit/job-commit split
+    Spark's built-in file sinks use, expressed through the Python
+    DataSource write API."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonlsink"
+
+    def writer(self, schema, overwrite: bool) -> "JsonlWriter":
+        return JsonlWriter(self.options, schema, overwrite)
+
+
+class JsonlWriter(DataSourceWriter):
+    def __init__(self, options, schema, overwrite: bool) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonlsink requires .option('path', <dir>)")
+        self.fields = [f.name for f in schema.fields]
+        # the writer is CONSTRUCTED on the driver (then pickled to
+        # tasks), so mode('overwrite') cleanup belongs here — before
+        # any task writes
+        if overwrite:
+            import glob
+            import os
+
+            for f in glob.glob(os.path.join(self.path, "part-*.jsonl")):
+                os.remove(f)
+            m = os.path.join(self.path, "_manifest.json")
+            if os.path.exists(m):
+                os.remove(m)
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        out = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(out, "w") as fh:
+            for row in iterator:
+                # sorted keys -> byte-deterministic content per row
+                fh.write(json.dumps(dict(zip(self.fields, row)), sort_keys=True))
+                fh.write("\n")
+                n += 1
+        return _FileCommitMessage(out, n)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        manifest = {
+            # sorted by path for a deterministic manifest
+            "files": sorted(
+                ({"path": m.path, "n_rows": m.n_rows} for m in messages if m),
+                key=lambda d: d["path"],
+            ),
+            "total_rows": sum(m.n_rows for m in messages if m),
+        }
+        with open(os.path.join(self.path, "_manifest.json"), "w") as fh:
+            json.dump(manifest, fh, indent=0, sort_keys=True)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+def read_jsonl_sink(spark, path: str, schema: str):
+    """Manifest-honoring read-back: only files the commit listed are
+    visible (atomic visibility — orphan task output is ignored)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_manifest.json")) as fh:
+        manifest = json.load(fh)
+    files = [f["path"] for f in manifest["files"]]
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(files)

@@ -197,3 +197,52 @@ def test_udtf_dynamic_schema_empty_token_parity(spark, adversarial_docs_dir):
     # the crafted data must actually exercise the empty-token path:
     # a NULL first_tok group exists (leading-space + empty + NULL text)
     assert any(k[0] is None for k in got)
+
+
+def test_jsonlsink_overwrite_manifest_and_orphan_invisibility(spark):
+    """The Python DataSource writer's commit protocol, asserted on real
+    files: (1) a 4-partition write commits 4 files whose manifest row
+    total equals the source count; (2) mode('overwrite') removes the
+    previous generation (no double rows); (3) an orphan file dropped
+    into the directory OUTSIDE the commit (failed/speculative task
+    simulation) is invisible to the manifest-honoring read."""
+    import json
+    import shutil
+
+    from tests.conftest import SF_SMALL
+
+    from rdbms_subsetter_spark.catalog import Catalog
+    from rdbms_subsetter_spark.sources.pysource import (
+        JsonlSinkDataSource,
+        read_jsonl_sink,
+    )
+
+    spark.dataSource.register(JsonlSinkDataSource)
+    out = os.path.join(tempfile.gettempdir(), "rss_r05_jsonlsink_test")
+    shutil.rmtree(out, ignore_errors=True)
+    docs = Catalog(spark, SF_SMALL)["documents"].select("doc_id", "lang", "n_chars")
+    n_src = docs.count()
+    schema = "doc_id long, lang string, n_chars long"
+
+    docs.repartition(4).write.format("jsonlsink").option("path", out).mode(
+        "append"
+    ).save()
+    manifest = json.load(open(os.path.join(out, "_manifest.json")))
+    assert len(manifest["files"]) == 4
+    assert manifest["total_rows"] == n_src
+
+    # second write in overwrite mode: previous generation fully replaced
+    docs.repartition(2).write.format("jsonlsink").option("path", out).mode(
+        "overwrite"
+    ).save()
+    manifest = json.load(open(os.path.join(out, "_manifest.json")))
+    assert len(manifest["files"]) == 2
+    assert manifest["total_rows"] == n_src
+    assert read_jsonl_sink(spark, out, schema).count() == n_src
+
+    # orphan simulation: a file never committed must stay invisible
+    with open(os.path.join(out, "part-deadbeef.jsonl"), "w") as fh:
+        fh.write('{"doc_id": 999999, "lang": "xx", "n_chars": 1}\n')
+    back = read_jsonl_sink(spark, out, schema)
+    assert back.count() == n_src
+    assert back.where("lang = 'xx'").count() == 0
