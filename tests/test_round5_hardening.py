@@ -246,3 +246,57 @@ def test_jsonlsink_overwrite_manifest_and_orphan_invisibility(spark):
     back = read_jsonl_sink(spark, out, schema)
     assert back.count() == n_src
     assert back.where("lang = 'xx'").count() == 0
+
+
+def test_jsonlsink_roundtrip_adversarial_values(spark):
+    """Byte-level robustness of the jsonlsink write/read contract on
+    values json-lines formats classically mangle: embedded newlines,
+    carriage returns, tabs and control chars (must stay ONE escaped
+    line per row), quotes/backslashes, non-BMP unicode, empty strings,
+    NULLs in every column, and longs at the int64 extremes.  Read-back
+    must be value-identical, and the file must hold exactly one
+    physical line per row (the jsonl framing invariant the manifest's
+    n_rows accounting relies on)."""
+    import json
+    import shutil
+
+    from rdbms_subsetter_spark.sources.pysource import (
+        JsonlSinkDataSource,
+        read_jsonl_sink,
+    )
+
+    rows = [
+        (1, "line1\nline2", 0),                  # embedded newline
+        (2, "cr\rand\ttab", -1),                 # CR + tab
+        (3, 'quote " backslash \\ slash /', 42),
+        (4, "non-bmp \U0001f600 emoji é", 7),
+        (5, "", 0),                              # empty string
+        (6, None, None),                         # NULLs
+        (None, "null id", 9),                    # NULL key
+        (7, "ctrl \x01\x1f chars", 2),
+        (8, "x", 9223372036854775807),           # int64 max
+        (9, "y", -9223372036854775808),          # int64 min
+    ]
+    schema = "doc_id long, text string, n long"
+    spark.dataSource.register(JsonlSinkDataSource)
+    out = os.path.join(tempfile.gettempdir(), "rss_r05_jsonlsink_adv")
+    shutil.rmtree(out, ignore_errors=True)
+    src = spark.createDataFrame(rows, schema)
+    src.repartition(3).write.format("jsonlsink").option("path", out).mode(
+        "append"
+    ).save()
+
+    # jsonl framing: committed physical line count == row count
+    manifest = json.load(open(os.path.join(out, "_manifest.json")))
+    n_lines = 0
+    for f in manifest["files"]:
+        with open(f["path"], "rb") as fh:
+            n_lines += sum(1 for _ in fh)
+    assert n_lines == len(rows) == manifest["total_rows"]
+
+    back = read_jsonl_sink(spark, out, schema)
+    canon = lambda df: sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple((v is None, str(v)) for v in t),
+    )
+    assert canon(back) == canon(src)
