@@ -25,8 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
-    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
     WriterCommitMessage,
@@ -148,7 +148,14 @@ class JsonlSinkDataSource(DataSource):
         return JsonlWriter(self.options, schema, overwrite)
 
 
-class JsonlWriter(DataSourceWriter):
+class JsonlWriter(DataSourceArrowWriter):
+    """Arrow-batched task writer: Spark hands each task an iterator of
+    pyarrow RecordBatches (vectorized boundary transfer — the Python
+    DataSource equivalent of a Pandas UDF vs a row-at-a-time UDF; the
+    plain ``DataSourceWriter`` would pickle every Row across the
+    boundary individually).  Output bytes are identical to the
+    row-based form: one sorted-keys json object per line."""
+
     def __init__(self, options, schema, overwrite: bool) -> None:
         self.path = options.get("path")
         if not self.path:
@@ -176,11 +183,13 @@ class JsonlWriter(DataSourceWriter):
         out = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
         n = 0
         with open(out, "w") as fh:
-            for row in iterator:
+            for batch in iterator:  # pyarrow.RecordBatch per Arrow batch
+                rows = batch.to_pylist()  # C-side columnar->dict conversion
                 # sorted keys -> byte-deterministic content per row
-                fh.write(json.dumps(dict(zip(self.fields, row)), sort_keys=True))
-                fh.write("\n")
-                n += 1
+                fh.writelines(
+                    json.dumps(r, sort_keys=True) + "\n" for r in rows
+                )
+                n += len(rows)
         return _FileCommitMessage(out, n)
 
     def commit(self, messages) -> None:
