@@ -137,3 +137,91 @@ def test_winnow_fingerprints_match_python_reference(spark, docs):
         if ref is not None:
             want[i] = (ref[0], ref[1], ref[2])
     assert got == want
+
+
+# -- band join vs brute force -------------------------------------------------
+
+
+@SLOW
+@given(
+    vals=st.lists(
+        st.integers(min_value=-10, max_value=30), min_size=1, max_size=40
+    ),
+    edges=st.lists(
+        st.integers(min_value=-10, max_value=30),
+        min_size=2,
+        max_size=6,
+        unique=True,
+    ),
+)
+def test_band_join_matches_bruteforce(spark, vals, edges):
+    """band_join's broadcast non-equi join == the obvious per-row scan,
+    including values exactly on band edges (lo inclusive, hi exclusive)
+    and values outside every band (dropped)."""
+    from rdbms_subsetter_spark.operators.joins import band_join
+
+    cuts = sorted(edges)
+    bands = [(float(lo), float(hi)) for lo, hi in zip(cuts, cuts[1:])]
+    fact = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "rid long, v double"
+    )
+    got = sorted(
+        (r["rid"], r["band_lo"]) for r in band_join(fact, "v", bands).collect()
+    )
+    want = sorted(
+        (i, lo)
+        for i, v in enumerate(vals)
+        for lo, hi in bands
+        if lo <= v < hi
+    )
+    assert got == want
+
+
+# -- CDC changelog application (max_by + tombstone) vs pandas ----------------
+
+
+@SLOW
+@given(
+    changes=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),    # key
+            st.integers(min_value=0, max_value=5),    # ts (ties likely)
+            st.sampled_from(["insert", "update", "error"]),
+            st.integers(min_value=-50, max_value=50),  # value
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_cdc_latest_wins_and_tombstones_delete(spark, changes):
+    """The q_cdc_apply_changelog pattern on random changelogs: per-key
+    argmax over (ts, event_id) — event_id breaks ts ties — and a
+    tombstone as the last op removes the key.  Reference: plain pandas
+    sort + tail(1)."""
+    from pyspark.sql import functions as F
+
+    rows = [(eid, k, t, op, float(v)) for eid, (k, t, op, v) in enumerate(changes)]
+    df = spark.createDataFrame(
+        rows, "event_id long, k long, ts long, op string, value double"
+    )
+    ordkey = F.struct(F.col("ts"), F.col("event_id"))
+    snap = (
+        df.groupBy("k")
+        .agg(
+            F.max_by("op", ordkey).alias("last_op"),
+            F.max_by("value", ordkey).alias("last_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("last_op") != "error")
+    )
+    got = {
+        r["k"]: (r["last_op"], r["last_value"], r["n"]) for r in snap.collect()
+    }
+
+    pdf = pd.DataFrame(rows, columns=["event_id", "k", "ts", "op", "value"])
+    want = {}
+    for k, g in pdf.sort_values(["ts", "event_id"]).groupby("k"):
+        last = g.iloc[-1]
+        if last.op != "error":
+            want[int(k)] = (last.op, float(last.value), len(g))
+    assert got == want
