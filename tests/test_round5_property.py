@@ -225,3 +225,89 @@ def test_cdc_latest_wins_and_tombstones_delete(spark, changes):
         if last.op != "error":
             want[int(k)] = (last.op, float(last.value), len(g))
     assert got == want
+
+
+# -- MinHash+LSH end-to-end vs pure-python replica ---------------------------
+
+
+def _py_shingle_strings(text: str, n: int = 3):
+    t = text.lower()
+    t = re.sub(r"[!-/:-@\[-`{-~]", " ", t)
+    t = re.sub(r"\s+", " ", t).strip()
+    toks = t.split(" ")
+    if len(toks) < n:
+        return set()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _py_minhash_sig(sh: set, num_hashes: int = 16):
+    """Replica of dedup.minhash_signatures: ONE md5 per shingle,
+    Kirsch-Mitzenmacher double hashing h_i = (h1 + i*(h2 mod 2^40))
+    mod 2^60, component-wise min over the shingle set."""
+    sig = []
+    hs = []
+    for s in sh:
+        hx = hashlib.md5(s.encode()).hexdigest()
+        hs.append((int(hx[:15], 16), int(hx[15:30], 16)))
+    for i in range(num_hashes):
+        sig.append(min((h1 + i * (h2 % (1 << 40))) % (1 << 60) for h1, h2 in hs))
+    return sig
+
+
+@SLOW
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=6)
+        .map(" ".join),
+        min_size=2,
+        max_size=8,
+    ),
+)
+def test_minhash_lsh_pairs_match_python_replica_exactly(spark, docs):
+    """The ENTIRE MinHash+LSH pipeline is deterministic (md5 + KM double
+    hashing, no rand()), so the banded-candidate + threshold output on
+    arbitrary docs must equal a pure-python replica bit-for-bit —
+    including est_jaccard values.  Docs drawn from a 4-word vocabulary
+    so shared shingles (and planted exact duplicates via doc
+    repetition) are common."""
+    from rdbms_subsetter_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = docs + [docs[0]]  # plant at least one identical pair
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    num_hashes, bands, threshold = 16, 4, 0.5
+    r = num_hashes // bands
+    got = {
+        (x["doc_id_1"], x["doc_id_2"]): x["est_jaccard"]
+        for x in minhash_lsh_pairs(
+            df, num_hashes=num_hashes, bands=bands, n=3, threshold=threshold
+        ).collect()
+    }
+
+    sigs = {}
+    for i, d in enumerate(docs):
+        sh = _py_shingle_strings(d, 3)
+        if sh:
+            sigs[i] = _py_minhash_sig(sh, num_hashes)
+    want = {}
+    ids = sorted(sigs)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            i, j = ids[ai], ids[bi]
+            si, sj = sigs[i], sigs[j]
+            shares_band = any(
+                si[b * r : (b + 1) * r] == sj[b * r : (b + 1) * r]
+                for b in range(bands)
+            )
+            if not shares_band:
+                continue
+            est = round(sum(a == b for a, b in zip(si, sj)) / num_hashes, 6)
+            if est >= threshold:
+                want[(i, j)] = est
+    assert got == want
+
+    # the planted identical pair must be reported at est 1.0 whenever
+    # the duplicated doc has any shingles at all
+    if 0 in sigs:
+        assert got[(0, len(docs) - 1)] == 1.0
