@@ -311,3 +311,58 @@ def test_minhash_lsh_pairs_match_python_replica_exactly(spark, docs):
     # the duplicated doc has any shingles at all
     if 0 in sigs:
         assert got[(0, len(docs) - 1)] == 1.0
+
+
+# -- SimHash pairs vs brute-force python replica ------------------------------
+
+
+def _py_simhash_bits(text: str, bits: int = 64):
+    """Replica of dedup.simhash_bits: every token OCCURRENCE (not
+    distinct) hashed with the salt-0 portable md5 hash; per bit, the
+    sign of the ±1 sum; ties (sum == 0) give bit 0."""
+    t = text.lower()
+    t = re.sub(r"[!-/:-@\[-`{-~]", " ", t)
+    t = re.sub(r"\s+", " ", t).strip()
+    toks = t.split(" ")  # "" -> [""], the empty token still hashes
+    sums = [0] * bits
+    for tok in toks:
+        h = int(hashlib.md5(f"0|{tok}".encode()).hexdigest()[:15], 16)
+        for b in range(bits):
+            sums[b] += 1 if (h >> b) & 1 else -1
+    return [1 if s > 0 else 0 for s in sums]
+
+
+@SLOW
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc"]), min_size=0, max_size=5)
+        .map(" ".join),
+        min_size=2,
+        max_size=8,
+    ),
+)
+def test_simhash_pairs_equal_bruteforce_hamming(spark, docs):
+    """simhash_pairs' 16-bit-chunk blocking is pigeonhole-EXACT for
+    Hamming <= 3 (any such pair agrees on a full chunk), so the output
+    must equal the brute-force all-pairs Hamming filter computed from a
+    pure-python simhash replica — candidates lost to blocking or
+    signature drift would both break this."""
+    from rdbms_subsetter_spark.operators.dedup import simhash_pairs
+
+    docs = docs + [docs[-1]]  # planted duplicate -> hamming 0 pair
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id_1"], r["doc_id_2"]): r["hamming"]
+        for r in simhash_pairs(df, max_hamming=3).collect()
+    }
+    sigs = [_py_simhash_bits(d) for d in docs]
+    want = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            ham = sum(a != b for a, b in zip(sigs[i], sigs[j]))
+            if ham <= 3:
+                want[(i, j)] = ham
+    assert got == want
+    assert want[(len(docs) - 2, len(docs) - 1)] == 0  # the planted dup
