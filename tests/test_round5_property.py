@@ -461,3 +461,124 @@ def test_decontaminate_ngram_matches_bruteforce(spark, docs):
         if shared:
             want[i] = (len(shared), touched)
     assert got == want
+
+
+# -- gap sessionization pattern vs python reference ---------------------------
+
+
+@SLOW
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),        # user
+            st.integers(min_value=0, max_value=10_000),   # ts seconds
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_gap_sessionize_matches_python_reference(spark, events):
+    """The q_sessionize pattern (lag + cumsum over a 30-min gap) on
+    arbitrary event streams — including ts ties, where (ts, event_id)
+    is the total order — must produce the same (n_events, start, end)
+    per session as a sequential python scan."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [(eid, u, t) for eid, (u, t) in enumerate(events)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, sec long")
+    df = df.withColumn("ts", F.timestamp_seconds(F.col("sec")))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    starts = F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0)
+    sess = df.select(
+        "user_id", "sec", "event_id", starts.alias("is_start")
+    ).withColumn(
+        "session_id",
+        F.sum("is_start").over(
+            Window.partitionBy("user_id")
+            .orderBy("sec", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    got = {
+        (r["user_id"], r["session_id"]): (r["n"], r["lo"], r["hi"])
+        for r in sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("sec").alias("lo"),
+            F.max("sec").alias("hi"),
+        )
+        .collect()
+    }
+
+    want = {}
+    by_user = {}
+    for eid, u, t in sorted(rows, key=lambda r: (r[1], r[2], r[0])):
+        by_user.setdefault(u, []).append(t)
+    for u, ts_list in by_user.items():
+        sid = 0
+        prev = None
+        for t in ts_list:
+            if prev is None or t - prev > 1800:
+                sid += 1
+                want[(u, sid)] = [0, t, t]
+            cur = want[(u, sid)]
+            cur[0] += 1
+            cur[2] = max(cur[2], t)
+            prev = t
+    assert got == {k: tuple(v) for k, v in want.items()}
+
+
+# -- M4 downsampling pattern vs pandas ----------------------------------------
+
+
+@SLOW
+@given(
+    points=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),       # series key
+            st.integers(min_value=0, max_value=5),       # bucket (ts ties likely)
+            st.integers(min_value=-100, max_value=100),  # value
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_m4_downsample_matches_pandas(spark, points):
+    """The q_events_downsample_m4 pattern: per bucket, first/last by the
+    (ts, event_id) total order plus min/max — exactly what a sequential
+    pandas pass produces, ts ties included."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [(eid, k, t, float(v)) for eid, (k, t, v) in enumerate(points)]
+    df = spark.createDataFrame(rows, "event_id long, k long, ts long, value double")
+    w = Window.partitionBy("k", "ts")
+    asc = w.orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    desc = w.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    got = {
+        (r["k"], r["ts"]): (r["n"], r["v_first"], r["v_last"], r["v_min"], r["v_max"])
+        for r in df.withColumn("rf", F.row_number().over(asc))
+        .withColumn("rl", F.row_number().over(desc))
+        .groupBy("k", "ts")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.when(F.col("rf") == 1, F.col("value"))).alias("v_first"),
+            F.max(F.when(F.col("rl") == 1, F.col("value"))).alias("v_last"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+        )
+        .collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["event_id", "k", "ts", "value"])
+    want = {}
+    for (k, t), g in pdf.sort_values(["ts", "event_id"]).groupby(["k", "ts"]):
+        want[(int(k), int(t))] = (
+            len(g),
+            float(g.iloc[0].value),
+            float(g.iloc[-1].value),
+            float(g.value.min()),
+            float(g.value.max()),
+        )
+    assert got == want
