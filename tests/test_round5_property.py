@@ -582,3 +582,156 @@ def test_m4_downsample_matches_pandas(spark, points):
             float(g.value.max()),
         )
     assert got == want
+
+
+# -- ordered funnel pattern vs python reference --------------------------------
+
+
+@SLOW
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),                     # user
+            st.integers(min_value=0, max_value=20),                    # ts
+            st.sampled_from(["view", "click", "purchase", "error"]),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_funnel_stages_match_python_reference(spark, events):
+    """The q_events_funnel pattern (first view -> first later click ->
+    first later purchase, strict >) on arbitrary event logs vs a
+    sequential python scan."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(events, "user_id long, ts long, event_type string")
+    v = df.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t0")
+    )
+    c = (
+        df.filter(F.col("event_type") == "click")
+        .join(v, on="user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        df.filter(F.col("event_type") == "purchase")
+        .join(c, on="user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    got = {
+        r["funnel_stage"]: r["n_users"]
+        for r in v.join(c, on="user_id", how="left")
+        .join(p, on="user_id", how="left")
+        .select(
+            F.when(F.col("t2").isNotNull(), F.lit(3))
+            .when(F.col("t1").isNotNull(), F.lit(2))
+            .otherwise(F.lit(1))
+            .alias("funnel_stage")
+        )
+        .groupBy("funnel_stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .collect()
+    }
+
+    want = {}
+    users = {u for u, _, _ in events}
+    for u in users:
+        mine = [(t, e) for uu, t, e in events if uu == u]
+        views = [t for t, e in mine if e == "view"]
+        if not views:
+            continue
+        t0 = min(views)
+        clicks = [t for t, e in mine if e == "click" and t > t0]
+        stage = 1
+        if clicks:
+            t1 = min(clicks)
+            stage = 2
+            if [t for t, e in mine if e == "purchase" and t > t1]:
+                stage = 3
+        want[stage] = want.get(stage, 0) + 1
+    assert got == want
+
+
+# -- first/last-touch attribution vs python reference -------------------------
+
+
+@SLOW
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),                      # user
+            st.integers(min_value=0, max_value=8),                      # ts (ties!)
+            st.sampled_from(["click", "view", "signup", "purchase", "error"]),
+            st.integers(min_value=0, max_value=50),                     # value
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_attribution_matches_python_reference(spark, events):
+    """The q_events_attribution single-window pattern (first/last touch
+    before or at each purchase in (ts, event_id) order) vs a sequential
+    python scan; integer values keep the sums exact."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    touches = ("click", "view", "signup")
+    rows = [(eid, u, t, e, float(v)) for eid, (u, t, e, v) in enumerate(events)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string, value double"
+    )
+    touch = F.when(F.col("event_type").isin(*touches), F.col("event_type"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = df.select(
+        "event_type",
+        "value",
+        F.last(touch, ignorenulls=True).over(w).alias("lt"),
+        F.first(touch, ignorenulls=True).over(w).alias("ft"),
+    ).where(F.col("event_type") == "purchase")
+    got = {
+        (r["mode"], r["touch_type"]): (r["n"], r["val"])
+        for r in flagged.select(
+            "value",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("last").alias("mode"),
+                        F.coalesce("lt", F.lit("none")).alias("touch_type"),
+                    ),
+                    F.struct(
+                        F.lit("first").alias("mode"),
+                        F.coalesce("ft", F.lit("none")).alias("touch_type"),
+                    ),
+                )
+            ).alias("m"),
+        )
+        .groupBy(F.col("m.mode").alias("mode"), F.col("m.touch_type").alias("touch_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("val"))
+        .collect()
+    }
+
+    want = {}
+    by_user = {}
+    for eid, u, t, e, v in rows:
+        by_user.setdefault(u, []).append((t, eid, e, v))
+    for u, evs in by_user.items():
+        first = last = None
+        for t, eid, e, v in sorted(evs):
+            if e in touches:
+                if first is None:
+                    first = e
+                last = e
+            if e == "purchase":
+                for mode, tt in (("last", last or "none"), ("first", first or "none")):
+                    n, s = want.get((mode, tt), (0, 0.0))
+                    want[(mode, tt)] = (n + 1, s + v)
+    assert got == want
