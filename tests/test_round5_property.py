@@ -735,3 +735,149 @@ def test_attribution_matches_python_reference(spark, events):
                     n, s = want.get((mode, tt), (0, 0.0))
                     want[(mode, tt)] = (n + 1, s + v)
     assert got == want
+
+
+# -- int8 quantization vs python replica ---------------------------------------
+
+import math
+
+
+@SLOW
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-100, max_value=100, allow_nan=False, width=32
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+)
+def test_quantize_int8_matches_python_replica(spark, vecs):
+    """quantize_int8's codegen array math vs an exact python replica:
+    q_i = HALF_UP-round((x_i - min)/scale) with scale = (max-min)/255;
+    constant vectors (max == min) must quantize to all zeros."""
+    from rdbms_subsetter_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: (r["q_min"], r["q_scale"], list(r["q_vec"]))
+        for r in quantize_int8(df).collect()
+    }
+    want = {}
+    for i, v in enumerate(vecs):
+        dv = [float(struct_f32(x)) for x in v]
+        mn, mx = min(dv), max(dv)
+        scale = (mx - mn) / 255.0
+        if mx == mn:
+            qv = [0] * len(dv)
+        else:
+            # Spark F.round on doubles is HALF_UP; operands here are >= 0
+            qv = [int(math.floor((x - mn) / scale + 0.5)) for x in dv]
+        want[i] = (round(mn, 6), round(scale, 9) if mx != mn else 0.0, qv)
+    for i in want:
+        g, w = got[i], want[i]
+        assert g[2] == w[2], (i, g, w)
+        assert abs(g[0] - w[0]) < 1e-9 and abs(g[1] - w[1]) < 1e-9
+
+
+def struct_f32(x: float) -> float:
+    """Round-trip a python float through float32, as the array<float>
+    column does before quantize_int8 widens it back to double."""
+    import struct
+
+    return struct.unpack("f", struct.pack("f", x))[0]
+
+
+# -- token entropy vs python replica -------------------------------------------
+
+
+@SLOW
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=15)
+        .map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_token_entropy_matches_python_reference(spark, docs):
+    """Per-doc Shannon entropy H = log2(n) - (sum c*log2 c)/n from the
+    two-stage groupBy vs direct python computation (tolerance absorbs
+    summation-order ULP drift under the 4-decimal rounding)."""
+    from pyspark.sql import functions as F
+
+    from rdbms_subsetter_spark.operators import text
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    counts = (
+        df.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    got = {
+        r["doc_id"]: (r["n_tok"], r["n_unique"], r["token_entropy"])
+        for r in counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tok"),
+            F.count(F.lit(1)).alias("n_unique"),
+            F.round(
+                F.log2(F.sum("c")) - F.sum(F.col("c") * F.log2("c")) / F.sum("c"), 4
+            ).alias("token_entropy"),
+        )
+        .collect()
+    }
+    for i, d in enumerate(docs):
+        toks = d.split(" ")
+        cnt = {}
+        for t in toks:
+            cnt[t] = cnt.get(t, 0) + 1
+        n = len(toks)
+        h = math.log2(n) - sum(c * math.log2(c) for c in cnt.values()) / n
+        gn, gu, gh = got[i]
+        assert gn == n and gu == len(cnt)
+        assert abs(gh - h) <= 5.1e-5
+
+
+# -- chunk_windows vs python replica -------------------------------------------
+
+
+@SLOW
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["x", "yy", "zzz"]), min_size=1, max_size=30)
+        .map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+)
+def test_chunk_windows_matches_python_replica(spark, docs):
+    """chunk_windows (chunk 7, stride 5 here so overlap and tail cases
+    fire on short docs): every chunk equals the python slice replica —
+    offsets 0,5,10,... <= len-1, chunk = toks[s:s+7], idx = s//5."""
+    from rdbms_subsetter_spark.operators.text import chunk_windows
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    got = sorted(
+        (r["doc_id"], r["chunk_idx"], r["n_chunk_tokens"], r["chunk_text"])
+        for r in chunk_windows(df, chunk_tokens=7, stride=5).collect()
+    )
+    want = []
+    for i, d in enumerate(docs):
+        toks = d.split(" ")
+        s = 0
+        while s <= max(len(toks) - 1, 0):
+            piece = toks[s : s + 7]
+            want.append((i, s // 5, len(piece), " ".join(piece)))
+            s += 5
+    assert got == sorted(want)
