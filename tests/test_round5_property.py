@@ -881,3 +881,47 @@ def test_chunk_windows_matches_python_replica(spark, docs):
             want.append((i, s // 5, len(piece), " ".join(piece)))
             s += 5
     assert got == sorted(want)
+
+
+# -- deterministic split/sampling hashes vs python md5 replica -----------------
+
+
+@SLOW
+@given(
+    keys=st.lists(
+        st.one_of(
+            st.integers(min_value=-(10**12), max_value=10**12),
+            st.text(alphabet="abz09 _é", min_size=0, max_size=10),
+        ),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    ),
+    seed=st.integers(min_value=0, max_value=1000),
+)
+def test_portable_pct_and_hash_bucket_match_md5_replica(spark, keys, seed):
+    """The determinism claim behind train/valid/test splits and mixture
+    sampling, verified against hashlib: portable_pct(key, seed) ==
+    int(md5(f'{seed}|{key}')[:15 hex], 16) % 100 for ANY key (ints and
+    unicode strings alike), and _hash_bucket(key) ==
+    int(md5(str(key))[:8 hex], 16) % 10000.  Cross-engine, cross-rerun
+    reproducibility reduces to this bit-equality."""
+    from pyspark.sql import functions as F
+
+    from rdbms_subsetter_spark.partitioning import portable_pct
+    from rdbms_subsetter_spark.queries_ext5 import _hash_bucket
+
+    rows = [(i, str(k)) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, "rid long, k string")
+    got = {
+        r["rid"]: (r["pct"], r["bucket"])
+        for r in df.select(
+            "rid",
+            portable_pct(F.col("k"), seed).alias("pct"),
+            _hash_bucket(F.col("k")).alias("bucket"),
+        ).collect()
+    }
+    for i, k in rows:
+        pct = int(hashlib.md5(f"{seed}|{k}".encode()).hexdigest()[:15], 16) % 100
+        bucket = int(hashlib.md5(k.encode()).hexdigest()[:8], 16) % 10000
+        assert got[i] == (pct, bucket), (k, got[i], (pct, bucket))
