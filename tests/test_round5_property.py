@@ -925,3 +925,74 @@ def test_portable_pct_and_hash_bucket_match_md5_replica(spark, keys, seed):
         pct = int(hashlib.md5(f"{seed}|{k}".encode()).hexdigest()[:15], 16) % 100
         bucket = int(hashlib.md5(k.encode()).hexdigest()[:8], 16) % 10000
         assert got[i] == (pct, bucket), (k, got[i], (pct, bucket))
+
+
+# -- exact heavy hitters vs python Counter -------------------------------------
+
+
+@SLOW
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=1, max_size=12)
+        .map(" ".join),
+        min_size=1,
+        max_size=10,
+    ),
+)
+def test_heavy_hitters_match_python_counter(spark, docs):
+    """Exact corpus-wide token top-k (count desc, token asc tiebreak)
+    vs collections.Counter — the TakeOrderedAndProject heap merge must
+    lose nothing, ties included."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from rdbms_subsetter_spark.operators import text
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    got = [
+        (r["token"], r["n"])
+        for r in df.select(F.explode(text.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(3)
+        .collect()
+    ]
+    cnt = Counter(t for d in docs for t in d.split(" "))
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert got == want
+
+
+# -- BPE pre-tokenizer vs python re --------------------------------------------
+
+
+@SLOW
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab XY09.,!é\t", min_size=0, max_size=25),
+        min_size=1,
+        max_size=10,
+    ),
+)
+def test_bpe_pretokenizer_matches_python_re(spark, texts):
+    """The GPT-2-style pre-tokenizer regex (letter runs / digit runs /
+    single punctuation) evaluated by Spark's regexp_extract_all must
+    produce the same token arrays as python re.findall — ASCII and
+    non-ASCII (é is neither [A-Za-z] nor \\s, so it splits as
+    punctuation) alike."""
+    from pyspark.sql import functions as F
+
+    from rdbms_subsetter_spark.operators.text import BPE_SPLIT_RE, bpe_tokens
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "rid long, text string"
+    )
+    got = {
+        r["rid"]: list(r["toks"])
+        for r in df.select("rid", bpe_tokens(F.col("text")).alias("toks")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == re.findall(BPE_SPLIT_RE, t), (i, t)
