@@ -996,3 +996,99 @@ def test_bpe_pretokenizer_matches_python_re(spark, texts):
     }
     for i, t in enumerate(texts):
         assert got[i] == re.findall(BPE_SPLIT_RE, t), (i, t)
+
+
+# -- cohort retention vs python reference ---------------------------------------
+
+
+@SLOW
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),    # user
+            st.integers(min_value=0, max_value=15),   # day
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_cohort_retention_matches_python_reference(spark, events):
+    """The q_events_retention pattern (first-activity cohort x
+    day-offset distinct actives) on arbitrary activity logs vs a python
+    dict scan — duplicate (user, day) activity must not double-count."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(events, "user_id long, day long")
+    first = df.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    act = df.distinct()
+    got = {
+        (r["cohort"], r["day_offset"]): r["n_users"]
+        for r in act.join(first, on="user_id")
+        .select("cohort", (F.col("day") - F.col("cohort")).alias("day_offset"), "user_id")
+        .groupBy("cohort", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .collect()
+    }
+    cohort = {}
+    for u, d in events:
+        cohort[u] = min(cohort.get(u, d), d)
+    cells = {}
+    for u, d in set(events):
+        key = (cohort[u], d - cohort[u])
+        cells.setdefault(key, set()).add(u)
+    assert got == {k: len(v) for k, v in cells.items()}
+
+
+# -- gopher rule battery vs python reference ------------------------------------
+
+
+@SLOW
+@given(
+    docs=st.lists(
+        st.text(alphabet="abc XY wz.!09  the and", min_size=0, max_size=60),
+        min_size=1,
+        max_size=10,
+    ),
+)
+def test_gopher_rules_match_python_reference(spark, docs):
+    """The q_docpipe_gopher_rules column expressions (token count,
+    mean word length, alphabetic fraction, stopword floor, rule
+    conjunction) vs a python scan.  Rule booleans are exact (same IEEE
+    division on both sides); rounded floats compared at 1e-6."""
+    from pyspark.sql import functions as F
+
+    from rdbms_subsetter_spark.operators import text
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    t = F.col("text")
+    toks = text.tokens(t)
+    n_tok = F.size(toks)
+    mean_len = F.length(F.regexp_replace(t, r"\s+", "")) / n_tok
+    alpha_frac = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))) / n_tok
+    arr = F.array(*[F.lit(w) for w in text.STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in df.select(
+            "doc_id",
+            n_tok.alias("n_tok"),
+            F.round(mean_len, 6).alias("mean_len"),
+            F.round(alpha_frac, 6).alias("alpha_frac"),
+            n_stop.alias("n_stop"),
+            (n_tok.between(2, 10) & (alpha_frac >= 0.8)).cast("int").alias("ok"),
+        ).collect()
+    }
+    stop = set(text.STOPWORDS["en"])
+    for i, d in enumerate(docs):
+        toks_py = re.split(r"\s+", d.strip())
+        n = len(toks_py)
+        mean = len(re.sub(r"\s+", "", d)) / n
+        alpha = sum(1 for x in toks_py if re.search("[A-Za-z]", x)) / n
+        nst = sum(1 for x in toks_py if x in stop)
+        g = got[i]
+        assert g["n_tok"] == n and g["n_stop"] == nst, (i, d, g)
+        assert abs(g["mean_len"] - round(mean, 6)) <= 1e-6
+        assert abs(g["alpha_frac"] - round(alpha, 6)) <= 1e-6
+        assert g["ok"] == int(2 <= n <= 10 and alpha >= 0.8)
