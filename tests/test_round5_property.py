@@ -1092,3 +1092,44 @@ def test_gopher_rules_match_python_reference(spark, docs):
         assert abs(g["mean_len"] - round(mean, 6)) <= 1e-6
         assert abs(g["alpha_frac"] - round(alpha, 6)) <= 1e-6
         assert g["ok"] == int(2 <= n <= 10 and alpha >= 0.8)
+
+
+# -- per-source cap (WindowGroupLimit path) vs python top-k ---------------------
+
+
+@SLOW
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),     # source
+            st.integers(min_value=0, max_value=10),    # n_chars (ties!)
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_per_source_cap_matches_python_topk(spark, docs):
+    """The q_docs_per_source_cap pattern (row_number <= 3 per source,
+    n_chars desc / doc_id asc) — the plan Spark executes through
+    WindowGroupLimit partial top-k — must equal the python sort+slice,
+    heavy ties included."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [(i, s, c) for i, (s, c) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, source long, n_chars long")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    got = sorted(
+        (r["doc_id"], r["source"], r["rk"])
+        for r in df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .collect()
+    )
+    want = []
+    by_src = {}
+    for i, s, c in rows:
+        by_src.setdefault(s, []).append((-c, i))
+    for s, lst in by_src.items():
+        for rk, (_negc, i) in enumerate(sorted(lst)[:3], start=1):
+            want.append((i, s, rk))
+    assert got == sorted(want)
