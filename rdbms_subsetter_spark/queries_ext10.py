@@ -273,14 +273,22 @@ def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     their event_type mean.  Stats are aggregated once (tiny frame) and
     broadcast back onto the scan — two passes over events but no wide
     shuffle of the raw rows, vs. a window which would shuffle-sort
-    everything by event_type."""
+    everything by event_type.
+
+    ``try_divide`` (not ``/``): under Spark 4's default ANSI mode a
+    constant-valued group (sigma == 0) would make the plain division
+    throw DIVIDE_BY_ZERO at runtime; try_divide yields NULL z, which
+    the |z| > 2.5 predicate drops — a degenerate group has no outliers
+    by definition.  Identical output wherever sigma != 0 (found by the
+    round-5 property battery, not by the fixed datasets, where every
+    event_type has spread)."""
     cat = Catalog(spark, sf_dir)
     ev = cat["events"]
     stats = ev.groupBy("event_type").agg(
         F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma")
     )
     joined = ev.join(F.broadcast(stats), "event_type")
-    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    z = F.try_divide(F.col("value") - F.col("mu"), F.col("sigma"))
     return (
         joined.where(F.abs(z) > 2.5)
         .select(

@@ -1133,3 +1133,95 @@ def test_per_source_cap_matches_python_topk(spark, docs):
         for rk, (_negc, i) in enumerate(sorted(lst)[:3], start=1):
             want.append((i, s, rk))
     assert got == sorted(want)
+
+
+# -- per-group z-score math vs python reference ---------------------------------
+
+
+@SLOW
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),     # type
+            st.integers(min_value=-20, max_value=20),  # value
+        ),
+        min_size=2,
+        max_size=40,
+    ),
+)
+def test_zscore_math_matches_python_reference(spark, events):
+    """The q_events_anomaly_zscore math (population mu/sigma broadcast
+    back onto the scan) per row vs direct python computation; groups
+    with sigma == 0 must yield NULL z for every member (try_divide —
+    the plain `/` THROWS under Spark 4's default ANSI mode; this test
+    found that bug in the graded query)."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, t, float(v)) for i, (t, v) in enumerate(events)]
+    df = spark.createDataFrame(rows, "event_id long, t long, value double")
+    stats = df.groupBy("t").agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma")
+    )
+    z = F.try_divide(F.col("value") - F.col("mu"), F.col("sigma"))
+    got = {
+        r["event_id"]: r["z"]
+        for r in df.join(F.broadcast(stats), "t").select("event_id", z.alias("z")).collect()
+    }
+    groups = {}
+    for i, t, v in rows:
+        groups.setdefault(t, []).append(v)
+    mus = {t: sum(vs) / len(vs) for t, vs in groups.items()}
+    sigmas = {
+        t: math.sqrt(sum((v - mus[t]) ** 2 for v in vs) / len(vs))
+        for t, vs in groups.items()
+    }
+    for i, t, v in rows:
+        if sigmas[t] == 0.0:
+            assert got[i] is None, (i, got[i])
+        else:
+            want = (v - mus[t]) / sigmas[t]
+            assert abs(got[i] - want) <= 1e-9 * max(1.0, abs(want)), (i, got[i], want)
+
+
+# -- winsorized clipping vs numpy linear percentile ------------------------------
+
+
+@SLOW
+@given(
+    vals=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=2, max_size=40
+    ),
+)
+def test_winsorize_clipping_matches_numpy(spark, vals):
+    """The q_events_winsorize pattern: exact interpolated p05/p95
+    (Spark F.percentile == numpy linear percentile), clip counts exact,
+    winsorized mean within float tolerance."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "value double")
+    pcts = df.agg(
+        F.percentile(F.col("value"), F.lit(0.05)).alias("p05"),
+        F.percentile(F.col("value"), F.lit(0.95)).alias("p95"),
+    )
+    clipped = df.crossJoin(F.broadcast(pcts)).select(
+        F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")).alias("wv"),
+        (F.col("value") < F.col("p05")).cast("long").alias("lo"),
+        (F.col("value") > F.col("p95")).cast("long").alias("hi"),
+    )
+    r = clipped.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lo").alias("n_lo"),
+        F.sum("hi").alias("n_hi"),
+        F.avg("wv").alias("wmean"),
+    ).collect()[0]
+
+    arr = np.array([float(v) for v in vals])
+    p05 = float(np.percentile(arr, 5, method="linear"))
+    p95 = float(np.percentile(arr, 95, method="linear"))
+    wv = np.clip(arr, p05, p95)
+    assert r["n"] == len(vals)
+    assert r["n_lo"] == int((arr < p05).sum())
+    assert r["n_hi"] == int((arr > p95).sum())
+    assert abs(r["wmean"] - float(wv.mean())) <= 1e-9 * max(1.0, abs(wv.mean()))
