@@ -237,8 +237,15 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 def frame_sample(decoded: DataFrame, every_n: int = 8) -> DataFrame:
     """Frame-sampling plan for video rows: expand each video into its
-    sampled frame indices (posexplode over a sequence — JVM-side)."""
-    vids = decoded.filter(F.col("media_type") == "video")
+    sampled frame indices (posexplode over a sequence — JVM-side).
+
+    The ``n_frames > 0`` guard is load-bearing: ``sequence(0, -1,
+    every_n)`` throws (wrong-direction bounds with a positive step), so
+    a zero-frame video from a real decoder must yield no sampled frames
+    rather than fail the job."""
+    vids = decoded.filter(
+        (F.col("media_type") == "video") & (F.col("n_frames") > 0)
+    )
     return vids.select(
         "media_id",
         F.explode(

@@ -300,3 +300,24 @@ def test_jsonlsink_roundtrip_adversarial_values(spark):
         key=lambda t: tuple((v is None, str(v)) for v in t),
     )
     assert canon(back) == canon(src)
+
+
+def test_frame_sample_zero_frame_video_yields_no_rows(spark):
+    """A zero-frame video row (real decoders can produce one) must
+    produce zero sampled frames — without the n_frames > 0 guard,
+    sequence(0, -1, 8) throws wrong-direction bounds and fails the
+    whole job."""
+    from rdbms_subsetter_spark.operators.multimodal import frame_sample
+
+    decoded = spark.createDataFrame(
+        [
+            (1, "video", 24),
+            (2, "video", 0),     # degenerate: decoder found no frames
+            (3, "audio", 0),
+            (4, "video", 3),
+        ],
+        "media_id long, media_type string, n_frames int",
+    )
+    rows = frame_sample(decoded, every_n=8).collect()
+    got = sorted((r["media_id"], r["frame_idx"]) for r in rows)
+    assert got == [(1, 0), (1, 8), (1, 16), (4, 0)]
