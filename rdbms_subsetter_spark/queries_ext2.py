@@ -119,14 +119,20 @@ def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The key list is serialized to a CSV string at the query boundary:
     the driver's pandas canonicalizer sorts on every output column and
-    list-valued cells are unhashable there (r01 grading failure)."""
+    list-valued cells are unhashable there (r01 grading failure).
+
+    ``try_cast`` (not ``.cast``): props is untrusted JSON, and under
+    Spark 4's default ANSI mode a non-numeric ``k`` value would throw
+    CAST_INVALID_INPUT mid-scan; try_cast yields NULL — matching the
+    oracle, which uses DuckDB TRY_CAST.  Identical wherever k is
+    numeric (the fixed datasets)."""
     cat = Catalog(spark, sf_dir)
     m = F.from_json(F.col("props"), "map<string,string>")
     return cat["events"].select(
         "event_id",
         F.size(m).alias("n_keys"),
         F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_csv"),
-        F.element_at(m, "k").cast("int").alias("k_val"),
+        F.element_at(m, "k").try_cast("int").alias("k_val"),
     )
 
 
@@ -592,7 +598,7 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 SELECT event_id,
        CAST(len(json_keys(props)) AS INT) AS n_keys,
        array_to_string(list_sort(CAST(json_keys(props) AS VARCHAR[])), ',') AS keys_csv,
-       CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+       TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_val
 FROM events
 """,
         "agg_distinct_percentile": """

@@ -321,3 +321,45 @@ def test_frame_sample_zero_frame_video_yields_no_rows(spark):
     rows = frame_sample(decoded, every_n=8).collect()
     got = sorted((r["media_id"], r["frame_idx"]) for r in rows)
     assert got == [(1, 0), (1, 8), (1, 16), (4, 0)]
+
+
+def test_map_functions_non_numeric_prop_parity(spark):
+    """Adversarial props JSON: non-numeric / missing / null 'k' values.
+    try_cast must yield NULL (the plain ANSI cast would throw
+    CAST_INVALID_INPUT mid-scan) and the Spark result must still match
+    the DuckDB TRY_CAST oracle row-for-row on the same crafted data."""
+    import json as _json
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from rdbms_subsetter_spark.queries_ext2 import ext2_queries, ext2_oracles
+
+    out = os.path.join(tempfile.gettempdir(), "rss_r05_adversarial_events")
+    shutil.rmtree(out, ignore_errors=True)
+    rows = [
+        (1, _json.dumps({"k": "42", "b": "x"})),     # numeric
+        (2, _json.dumps({"k": "abc"})),              # NON-numeric -> NULL
+        (3, _json.dumps({"b": "nok"})),              # k absent -> NULL
+        (4, _json.dumps({"k": ""})),                 # empty string -> NULL
+        (5, _json.dumps({"k": "-7"})),               # negative numeric
+        (6, None),                                   # NULL props
+    ]
+    spark.createDataFrame(rows, "event_id long, props string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+
+    got = _canon(
+        tuple(r)
+        for r in ext2_queries()["map_functions"](spark, out).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{os.path.join(out, 'events.parquet', '*.parquet')}'"
+    )
+    want = _canon(con.execute(ext2_oracles()["map_functions"]).fetchall())
+    assert got == want
+    k_vals = {r[0]: r[3] for r in got}
+    assert k_vals[1] == 42 and k_vals[5] == -7
+    assert k_vals[2] is None and k_vals[4] is None
