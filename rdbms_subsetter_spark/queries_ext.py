@@ -123,9 +123,13 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON extraction from events.props + aggregate per event type."""
+    """JSON extraction from events.props + aggregate per event type.
+
+    ``try_cast``: props is untrusted JSON — a non-numeric k would throw
+    CAST_INVALID_INPUT under ANSI mode; NULL (matching the oracle's
+    TRY_CAST) is the ETL-correct behavior."""
     cat = Catalog(spark, sf_dir)
-    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("int")
     return (
         cat["events"]
         .select("event_type", k.alias("k"))
@@ -504,9 +508,9 @@ FROM orders
         "json_extract_events": """
 SELECT event_type,
        count(*) AS n,
-       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
-       min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
-       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+       CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       min(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+       max(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
 FROM events GROUP BY event_type
 """,
         "events_hourly": """

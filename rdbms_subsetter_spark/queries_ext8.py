@@ -22,14 +22,20 @@ def q_json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheap ``variant_get`` path lookup on the binary encoding — the
     at-scale answer to repeated ``get_json_object`` string re-parses
     (one parse per field per row).  Aggregated per event_type so the
-    oracle hash-checks the extracted values, not the opaque variant."""
+    oracle hash-checks the extracted values, not the opaque variant.
+
+    try_ variants throughout: props is untrusted — under ANSI mode
+    ``parse_json`` throws on malformed JSON and ``variant_get`` throws
+    INVALID_VARIANT_CAST on a non-numeric k; the try_ forms yield NULL,
+    matching the oracle's TRY_CAST, and n_null_k counts exactly those
+    rows on both sides."""
     cat = Catalog(spark, sf_dir)
-    v = F.parse_json(F.col("props"))
+    v = F.try_parse_json(F.col("props"))
     return (
         cat["events"]
         .select(
             "event_type",
-            F.variant_get(v, "$.k", "bigint").alias("k"),
+            F.try_variant_get(v, "$.k", "bigint").alias("k"),
         )
         .groupBy("event_type")
         .agg(
@@ -44,10 +50,10 @@ def q_json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_JSON_VARIANT = """
 SELECT event_type, count(*) AS n_events,
-       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
-       min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
-       max(CAST(props->>'$.k' AS BIGINT)) AS max_k,
-       count(*) FILTER (WHERE props->>'$.k' IS NULL) AS n_null_k
+       CAST(sum(TRY_CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+       min(TRY_CAST(props->>'$.k' AS BIGINT)) AS min_k,
+       max(TRY_CAST(props->>'$.k' AS BIGINT)) AS max_k,
+       count(*) FILTER (WHERE TRY_CAST(props->>'$.k' AS BIGINT) IS NULL) AS n_null_k
 FROM events
 GROUP BY event_type
 """

@@ -323,43 +323,73 @@ def test_frame_sample_zero_frame_video_yields_no_rows(spark):
     assert got == [(1, 0), (1, 8), (1, 16), (4, 0)]
 
 
-def test_map_functions_non_numeric_prop_parity(spark):
-    """Adversarial props JSON: non-numeric / missing / null 'k' values.
-    try_cast must yield NULL (the plain ANSI cast would throw
-    CAST_INVALID_INPUT mid-scan) and the Spark result must still match
-    the DuckDB TRY_CAST oracle row-for-row on the same crafted data."""
+def test_json_extraction_non_numeric_prop_parity(spark):
+    """Adversarial props JSON — non-numeric / missing / empty / NULL
+    'k' values — through all three JSON-extraction surfaces
+    (map_functions, json_extract_events, json_variant_extract): the
+    try_ forms must yield NULL (the plain ANSI casts would throw
+    CAST_INVALID_INPUT / INVALID_VARIANT_CAST mid-scan) and every Spark
+    result must still match its DuckDB TRY_CAST oracle on the same
+    crafted data."""
     import json as _json
     import shutil
 
-    from pyspark.sql import functions as F
-
-    from rdbms_subsetter_spark.queries_ext2 import ext2_queries, ext2_oracles
+    import __spark_entry__ as entry_mod
 
     out = os.path.join(tempfile.gettempdir(), "rss_r05_adversarial_events")
     shutil.rmtree(out, ignore_errors=True)
     rows = [
-        (1, _json.dumps({"k": "42", "b": "x"})),     # numeric
-        (2, _json.dumps({"k": "abc"})),              # NON-numeric -> NULL
-        (3, _json.dumps({"b": "nok"})),              # k absent -> NULL
-        (4, _json.dumps({"k": ""})),                 # empty string -> NULL
-        (5, _json.dumps({"k": "-7"})),               # negative numeric
-        (6, None),                                   # NULL props
+        (1, "view", _json.dumps({"k": "42", "b": "x"})),   # numeric
+        (2, "view", _json.dumps({"k": "abc"})),            # NON-numeric -> NULL
+        (3, "click", _json.dumps({"b": "nok"})),           # k absent -> NULL
+        (4, "click", _json.dumps({"k": ""})),              # empty string -> NULL
+        (5, "view", _json.dumps({"k": "-7"})),             # negative numeric
+        (6, "error", None),                                # NULL props
     ]
-    spark.createDataFrame(rows, "event_id long, props string").coalesce(
-        1
-    ).write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
-
-    got = _canon(
-        tuple(r)
-        for r in ext2_queries()["map_functions"](spark, out).collect()
+    spark.createDataFrame(
+        rows, "event_id long, event_type string, props string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "events.parquet")
     )
+
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW events AS SELECT * FROM "
         f"'{os.path.join(out, 'events.parquet', '*.parquet')}'"
     )
-    want = _canon(con.execute(ext2_oracles()["map_functions"]).fetchall())
-    assert got == want
-    k_vals = {r[0]: r[3] for r in got}
+    for name in ("map_functions", "json_extract_events", "json_variant_extract"):
+        got = _canon(tuple(r) for r in qs[name](spark, out).collect())
+        want = _canon(con.execute(oracles[name]).fetchall())
+        assert got == want, (name, got, want)
+
+    # map_functions row detail: numeric survives, junk nulls out
+    k_vals = {
+        r[0]: r[3] for r in qs["map_functions"](spark, out).collect()
+    }
     assert k_vals[1] == 42 and k_vals[5] == -7
     assert k_vals[2] is None and k_vals[4] is None
+
+
+def test_variant_extract_survives_malformed_json_spark_only(spark):
+    """Spark-only (DuckDB's json functions throw on invalid JSON, so no
+    shared oracle): try_parse_json turns malformed props into NULL
+    variants instead of failing the scan, and they land in n_null_k."""
+    from rdbms_subsetter_spark.queries_ext8 import q_json_variant_extract
+
+    out = os.path.join(tempfile.gettempdir(), "rss_r05_malformed_events")
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    rows = [
+        (1, "view", '{"k": 3}'),
+        (2, "view", "{not json at all"),
+        (3, "view", '{"k": "xyz"}'),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, event_type string, props string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "events.parquet")
+    )
+    r = q_json_variant_extract(spark, out).collect()[0]
+    assert r["n_events"] == 3 and r["sum_k"] == 3 and r["n_null_k"] == 2
