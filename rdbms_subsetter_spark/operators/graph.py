@@ -81,6 +81,9 @@ def pagerank(
             node_deg.filter(F.col("outdeg").isNull()).limit(1).count() > 0
         )
     n = node_deg.count()
+    # empty graph: no nodes -> no ranks (the (1-d)/N base is undefined)
+    if n == 0:
+        return node_deg.select("node", F.lit(0.0).alias("rank")).limit(0)
     base = (1.0 - damping) / n
 
     ranks = node_deg.withColumn("rank", F.lit(1.0 / n))

@@ -291,6 +291,11 @@ def ivf_topk(
         [r["embedding"] for r in corpus.select("embedding").limit(4096).collect()],
         dtype=np.float64,
     )
+    # empty corpus: nothing to index, no cells to probe
+    if sample.size == 0:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
     centers = _lloyd_kmeans(sample, k=n_clusters, iters=10, seed=seed)
     sc = corpus.sparkSession.sparkContext
     bc_centers = sc.broadcast(centers)
@@ -505,6 +510,11 @@ def semdedup(
         [r["embedding"] for r in corpus.select("embedding").limit(4096).collect()],
         dtype=np.float64,
     )
+    # empty corpus: no cells, empty summary
+    if sample.size == 0:
+        return corpus.sparkSession.createDataFrame(
+            [], "cell int, n_vectors bigint, n_kept bigint"
+        )
     centers = _lloyd_kmeans(sample, k=n_clusters, iters=10, seed=seed)
     bc_centers = corpus.sparkSession.sparkContext.broadcast(centers)
 

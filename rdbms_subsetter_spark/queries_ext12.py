@@ -387,7 +387,10 @@ def q_incr_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-cents sum are the algebraic (commutative-monoid) merge."""
     cat = Catalog(spark, sf_dir)
     ev = cat["events"]
-    wm = ev.agg(F.max("ts")).collect()[0][0] - _dt.timedelta(days=7)
+    # empty input: max(ts) is NULL -> any watermark works (base and
+    # delta are both empty); epoch keeps the arithmetic total
+    wm_max = ev.agg(F.max("ts")).collect()[0][0]
+    wm = (wm_max or _dt.datetime(1970, 1, 1)) - _dt.timedelta(days=7)
     cents = F.round(F.col("value") * 100).cast("long")
 
     def agg_of(df: DataFrame) -> DataFrame:

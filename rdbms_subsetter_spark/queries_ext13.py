@@ -183,6 +183,10 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice"), F.array(*[F.lit(q) for q in qs])
         ).alias("bs")
     ).collect()[0]["bs"]
+    # empty input: percentile of zero rows is NULL -> no boundaries,
+    # every (non-existent) row would fall in bucket 0, output is empty
+    if bounds is None:
+        bounds = []
     bucket = F.lit(0)
     for b in bounds:
         bucket = bucket + (F.col("o_totalprice") > F.lit(b)).cast("int")

@@ -393,3 +393,46 @@ def test_variant_extract_survives_malformed_json_spark_only(spark):
     )
     r = q_json_variant_extract(spark, out).collect()[0]
     assert r["n_events"] == 3 and r["sum_k"] == 3 and r["n_null_k"] == 2
+
+
+def test_empty_corpus_batch_queries_return_empty(spark):
+    """Empty-input contract for the batch surface: on a dataset with
+    every table present but zero rows, representative queries from each
+    family run to an EMPTY result instead of crashing — including the
+    driver-scalar-fit operators (equidepth boundaries, incremental-agg
+    watermark, IVF/SemDeDup k-means, PageRank), which all previously
+    assumed at least one row.  pca keeps its documented explicit raise
+    (a fitted basis genuinely cannot exist)."""
+    import shutil
+
+    import pytest as _pytest
+
+    import __spark_entry__ as entry_mod
+    from tests.conftest import SF_SMALL
+
+    out = os.path.join(tempfile.gettempdir(), "rss_r05_empty_sf")
+    shutil.rmtree(out, ignore_errors=True)
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings".split()
+    ):
+        spark.read.parquet(os.path.join(SF_SMALL, f"{t}.parquet")).limit(
+            0
+        ).write.parquet(os.path.join(out, f"{t}.parquet"))
+
+    qs = entry_mod.queries()
+    empty_ok = [
+        "events_hourly", "sessionize", "equidepth_histogram",
+        "incr_agg_maintenance", "events_anomaly_zscore", "events_winsorize",
+        "dedup_exact", "dedup_minhash_lsh", "heavy_hitters_tokens",
+        "json_extract_events", "json_variant_extract", "map_functions",
+        "docs_per_source_cap", "text_stats", "mixture_weighted_sample",
+        "ann_cosine_topk", "ann_ivf_topk", "dedup_semdedup",
+        "graph_pagerank", "join_runtime_bloom", "sample_weighted_topk",
+        "doc_pack_sequences", "filter_eq", "agg_pricing_summary",
+    ]
+    for name in empty_ok:
+        assert qs[name](spark, out).count() == 0, name
+
+    with _pytest.raises(ValueError, match="empty input"):
+        qs["embed_pca_project"](spark, out).count()
