@@ -326,8 +326,10 @@ def q_incr_ingest_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     would funnel everything through one task."""
     cat = Catalog(spark, sf_dir)
     ev = cat["events"]
+    # empty input: max(ts) is NULL -> any watermark works (both sides
+    # of the new/old split are empty); epoch keeps the arithmetic total
     max_ts = ev.agg(F.max("ts")).collect()[0][0]
-    wm = max_ts - _dt.timedelta(days=1)
+    wm = (max_ts or _dt.datetime(1970, 1, 1)) - _dt.timedelta(days=1)
     return ev.groupBy("event_type").agg(
         F.sum((F.col("ts") > F.lit(wm)).cast("long")).alias("n_new"),
         F.sum((F.col("ts") <= F.lit(wm)).cast("long")).alias("n_old"),
@@ -586,30 +588,38 @@ def q_dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o_checks = orders.agg(
         F.array(
+            # try_divide everywhere: on an EMPTY table every ratio is
+            # NULL (ANSI / would throw), and report() marks a NULL
+            # metric "fail" -- no data is a failed check, not a crash
             report(
                 "orders.o_custkey.completeness",
-                F.count("o_custkey") / F.count(F.lit(1)),
+                F.try_divide(F.count("o_custkey"), F.count(F.lit(1))),
                 1.0,
             ),
             report(
                 "orders.o_orderkey.uniqueness",
-                F.count_distinct("o_orderkey") / F.count(F.lit(1)),
+                F.try_divide(F.count_distinct("o_orderkey"), F.count(F.lit(1))),
                 1.0,
             ),
             report(
                 "orders.o_orderstatus.accepted_values",
-                F.sum(F.col("o_orderstatus").isin("O", "F", "P").cast("long"))
-                / F.count(F.lit(1)),
+                F.try_divide(
+                    F.sum(F.col("o_orderstatus").isin("O", "F", "P").cast("long")),
+                    F.count(F.lit(1)),
+                ),
                 1.0,
             ),
             report(
                 "orders.o_totalprice.non_negative",
-                F.sum((F.col("o_totalprice") >= 0).cast("long")) / F.count(F.lit(1)),
+                F.try_divide(
+                    F.sum((F.col("o_totalprice") >= 0).cast("long")),
+                    F.count(F.lit(1)),
+                ),
                 1.0,
             ),
         ).alias("arr")
     ).select(F.explode("arr").alias("r"))
-    ref_metric = F.count("o_orderkey") / F.count(F.lit(1))
+    ref_metric = F.try_divide(F.count("o_orderkey"), F.count(F.lit(1)))
     ref_check = (
         li.join(
             orders.select("o_orderkey"),

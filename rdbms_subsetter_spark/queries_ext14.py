@@ -488,6 +488,18 @@ GROUP BY l_returnflag
 """
 
 
+def _merge_base(cat: Catalog) -> DataFrame:
+    """The merge target's base projection — shared by the writer and by
+    the read-back (whose explicit schema makes an EMPTY base readable:
+    an empty partitioned write leaves no files to infer from)."""
+    return cat["customer"].select(
+        "c_custkey",
+        F.round(F.col("c_acctbal"), 2).alias("balance"),
+        F.lit(False).alias("updated"),
+        F.col("c_nationkey").alias("nation"),
+    )
+
+
 def merge_partition_pruned_table(spark: SparkSession, sf_dir: str) -> str:
     """Build the partitioned base table and MERGE updates into it via
     DYNAMIC PARTITION OVERWRITE; return the table path.
@@ -516,12 +528,7 @@ def merge_partition_pruned_table(spark: SparkSession, sf_dir: str) -> str:
 
     cat = Catalog(spark, sf_dir)
     out = os.path.join(tempfile.gettempdir(), f"rss_merge_{stable_suffix(sf_dir)}")
-    base = cat["customer"].select(
-        "c_custkey",
-        F.round(F.col("c_acctbal"), 2).alias("balance"),
-        F.lit(False).alias("updated"),
-        F.col("c_nationkey").alias("nation"),
-    )
+    base = _merge_base(cat)
     base.write.mode("overwrite").partitionBy("nation").parquet(out)
 
     latest = (
@@ -573,7 +580,7 @@ def q_merge_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged table: row count, rows updated, exact balance total in cents
     (integer sum — immune to float summation order)."""
     out = merge_partition_pruned_table(spark, sf_dir)
-    tbl = spark.read.parquet(out)
+    tbl = spark.read.schema(_merge_base(Catalog(spark, sf_dir)).schema).parquet(out)
     return tbl.groupBy("nation").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("updated").cast("long")).alias("n_updated"),

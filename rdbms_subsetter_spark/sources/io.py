@@ -211,12 +211,15 @@ def partitioned_roundtrip(df: DataFrame, partition_col: str, tag: str) -> DataFr
     partition column prunes whole directories at planning time (the scan
     shows ``PartitionFilters``, not data filters), so a one-partition
     query reads 1/N of the data no matter how large the table is.
-    Partition columns come back as the narrowest parsed type; callers
-    cast if the original type must survive (strings survive as-is).
+
+    The read-back carries the writer's explicit schema: partition
+    columns keep their original type (no narrowest-parse inference),
+    and an EMPTY input — which writes zero partition directories —
+    reads back as an empty frame instead of failing schema inference.
     """
     out = _scratch_dir("part", tag)
     df.write.mode("overwrite").partitionBy(partition_col).parquet(out)
-    return df.sparkSession.read.parquet(out)
+    return df.sparkSession.read.schema(df.schema).parquet(out)
 
 
 def xml_roundtrip(df: DataFrame, tag: str, row_tag: str = "row") -> DataFrame:

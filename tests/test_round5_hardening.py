@@ -430,9 +430,18 @@ def test_empty_corpus_batch_queries_return_empty(spark):
         "ann_cosine_topk", "ann_ivf_topk", "dedup_semdedup",
         "graph_pagerank", "join_runtime_bloom", "sample_weighted_topk",
         "doc_pack_sequences", "filter_eq", "agg_pricing_summary",
+        "merge_partition_pruned", "partitioned_source_prune",
+        "incr_ingest_watermark",
     ]
     for name in empty_ok:
         assert qs[name](spark, out).count() == 0, name
+
+    # the DQ suite is the one query that must NOT be empty on empty
+    # input: every check reports metric NULL + status 'fail' (no data
+    # is a failed data-quality check, not a crash)
+    dq = qs["dq_constraint_report"](spark, out).collect()
+    assert len(dq) == 5
+    assert all(r["metric"] is None and r["status"] == "fail" for r in dq)
 
     with _pytest.raises(ValueError, match="empty input"):
         qs["embed_pca_project"](spark, out).count()
