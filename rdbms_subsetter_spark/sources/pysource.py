@@ -53,6 +53,17 @@ class RangeGenDataSource(DataSource):
 
 
 class RangeGenReader(DataSourceReader):
+    """Arrow-batched reader: ``read`` yields ``pyarrow.RecordBatch``es
+    built with numpy vector arithmetic, not per-row Python tuples.  The
+    Python DataSource API ships RecordBatches across the boundary
+    zero-copy (Arrow IPC), so this is the read twin of the
+    ``DataSourceArrowWriter`` below — the row-yielding form would pickle
+    every tuple individually (the last row-at-a-time boundary this repo
+    had).  Batches are capped at ``ARROW_BATCH_ROWS`` so task memory
+    stays O(batch) regardless of partition size."""
+
+    ARROW_BATCH_ROWS = 65536
+
     def __init__(self, options) -> None:
         self.rows_per_partition = int(options.get("rowsperpartition", 1000))
         self.num_partitions = int(options.get("partitions", 8))
@@ -61,10 +72,26 @@ class RangeGenReader(DataSourceReader):
         return [InputPartition(i) for i in range(self.num_partitions)]
 
     def read(self, partition):
+        import numpy as np
+        import pyarrow as pa
+
         base = partition.value * self.rows_per_partition
-        for k in range(self.rows_per_partition):
-            idx = base + k
-            yield (idx, partition.value, (idx * 7 % 1000) / 8.0)
+        for lo in range(0, self.rows_per_partition, self.ARROW_BATCH_ROWS):
+            hi = min(lo + self.ARROW_BATCH_ROWS, self.rows_per_partition)
+            idx = np.arange(base + lo, base + hi, dtype=np.int64)
+            # same pure-integer formula as the row form: (id*7 % 1000)/8
+            # is exact in IEEE double, so output is bit-identical
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(idx, type=pa.int64()),
+                    pa.array(
+                        np.full(hi - lo, partition.value, dtype=np.int32),
+                        type=pa.int32(),
+                    ),
+                    pa.array((idx * 7 % 1000) / 8.0, type=pa.float64()),
+                ],
+                names=["id", "part", "val"],
+            )
 
 
 class RangeGenStreamReader(SimpleDataSourceStreamReader):
@@ -138,7 +165,15 @@ class JsonlSinkDataSource(DataSource):
     visibility: a crashed/speculative task's orphan file is simply
     absent from it.  This is the same task-commit/job-commit split
     Spark's built-in file sinks use, expressed through the Python
-    DataSource write API."""
+    DataSource write API.
+
+    Limitations (by design — this is a single-filesystem sink):
+    ``path`` must be a filesystem visible to driver AND executors
+    identically (local/NFS; local-mode always qualifies), and
+    ``mode('overwrite')`` is not atomic — the previous generation is
+    removed before the new write starts, so a failed overwrite leaves
+    the directory without a manifest (readers fail loudly rather than
+    see mixed generations)."""
 
     @classmethod
     def name(cls) -> str:
@@ -174,6 +209,25 @@ class JsonlWriter(DataSourceArrowWriter):
             if os.path.exists(m):
                 os.remove(m)
 
+    @staticmethod
+    def _json_default(v):
+        """Serializer for non-JSON-native Arrow types so the sink is a
+        real general-purpose extension point, not primitives-only:
+        datetime/date -> ISO-8601 strings, Decimal -> str (lossless),
+        bytes -> base64.  Deterministic per value, so output stays
+        byte-reproducible."""
+        import base64
+        import datetime
+        import decimal
+
+        if isinstance(v, (datetime.datetime, datetime.date, datetime.time)):
+            return v.isoformat()
+        if isinstance(v, decimal.Decimal):
+            return str(v)
+        if isinstance(v, (bytes, bytearray)):
+            return base64.b64encode(bytes(v)).decode("ascii")
+        raise TypeError(f"jsonlsink cannot serialize {type(v).__name__}")
+
     def write(self, iterator):
         import json
         import os
@@ -187,7 +241,9 @@ class JsonlWriter(DataSourceArrowWriter):
                 rows = batch.to_pylist()  # C-side columnar->dict conversion
                 # sorted keys -> byte-deterministic content per row
                 fh.writelines(
-                    json.dumps(r, sort_keys=True) + "\n" for r in rows
+                    json.dumps(r, sort_keys=True, default=self._json_default)
+                    + "\n"
+                    for r in rows
                 )
                 n += len(rows)
         return _FileCommitMessage(out, n)
@@ -196,6 +252,10 @@ class JsonlWriter(DataSourceArrowWriter):
         import json
         import os
 
+        # a zero-task write (empty source DataFrame) never runs write(),
+        # so the directory may not exist yet — the manifest must still
+        # be committed for readers to see an (empty) atomic generation
+        os.makedirs(self.path, exist_ok=True)
         manifest = {
             # sorted by path for a deterministic manifest
             "files": sorted(

@@ -364,7 +364,14 @@ def streaming_state_introspection(spark: SparkSession, sf_dir: str) -> DataFrame
             .start()
         )
         try:
-            q.awaitTermination(300)
+            # fail loudly on timeout: a False return means the trigger
+            # did not finish, and reading the statestore from a
+            # partially-processed checkpoint would grade an incomplete
+            # key set silently (same policy as streaming_dedup_ttl)
+            if not q.awaitTermination(300):
+                raise TimeoutError(
+                    "state-introspection query did not finish in 300s"
+                )
         finally:
             q.stop()
     finally:

@@ -80,8 +80,12 @@ def check(warn: float, gate: float) -> int:
     ratios: dict[str, float] = {}
     new: list[str] = []
     for name, sec in detail.get("queries", {}).items():
+        if not isinstance(sec, (int, float)):
+            continue  # errored query ("ERROR: ..." string) — not a ratio
         if name in hist:
-            ratios[name] = sec / hist[name]["first"]
+            # bench times are rounded to 3 decimals, so a sub-ms query
+            # records 0.0 — floor the denominator instead of crashing
+            ratios[name] = sec / max(hist[name]["first"], 1e-3)
         else:
             new.append(name)
     if not ratios:
