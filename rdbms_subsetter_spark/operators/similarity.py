@@ -106,26 +106,39 @@ def cosine_topk(
 
     def scan(batches):
         ids, mat, nrm = bc.value
+        n_q = len(ids)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            c_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            # pre-sort the batch by neighbor id so a STABLE score sort
+            # below breaks score ties by ascending id — exactly the
+            # per-query lexsort((c_ids, -col)) order, but computed for
+            # ALL queries in one C call instead of a Python loop per
+            # query (the loop built q tiny DataFrames per batch and was
+            # the CPU hotspot this kernel's drift traced to)
+            order0 = np.argsort(c_ids, kind="stable")
+            c_ids = c_ids[order0]
+            c_mat = np.array(list(pdf["embedding"]), dtype=np.float64)[order0]
             c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
             scores = (c_mat @ mat.T) / np.outer(c_norm, nrm)  # b × q
             take = min(slack, len(c_ids))
-            for j in range(len(ids)):
-                col = scores[:, j]
-                # local top-take by (-score, neighbor_id)
-                idx = np.lexsort((c_ids, -col))[:take]
-                sel = idx[c_ids[idx] != ids[j]]
-                yield pd.DataFrame(
-                    {
-                        "query_id": ids[j],
-                        "neighbor_id": c_ids[sel],
-                        "cosine_raw": col[sel],
-                    }
-                )
+            # top-take rows per query by (score desc, id asc): stable
+            # argsort of -scores down each column, id order preserved
+            top = np.argsort(-scores, axis=0, kind="stable")[:take]  # take × q
+            q_idx = np.broadcast_to(np.arange(n_q), top.shape)
+            nb = c_ids[top]
+            mask = (nb != ids[q_idx]).ravel()
+            flat_q, flat_nb = q_idx.ravel()[mask], nb.ravel()[mask]
+            yield pd.DataFrame(
+                {
+                    "query_id": ids[flat_q],
+                    "neighbor_id": flat_nb,
+                    "cosine_raw": np.take_along_axis(scores, top, axis=0).ravel()[
+                        mask
+                    ],
+                }
+            )
 
     local = corpus.select("vec_id", "embedding").mapInPandas(scan, out_schema)
     scored = local.withColumn("cosine", F.round(F.col("cosine_raw"), round_to))
