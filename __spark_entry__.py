@@ -35,6 +35,7 @@ from rdbms_subsetter_spark.queries_ext11 import ext11_oracles, ext11_queries  # 
 from rdbms_subsetter_spark.queries_ext12 import ext12_oracles, ext12_queries  # noqa: E402
 from rdbms_subsetter_spark.queries_ext13 import ext13_oracles, ext13_queries  # noqa: E402
 from rdbms_subsetter_spark.queries_ext14 import ext14_oracles, ext14_queries  # noqa: E402
+from rdbms_subsetter_spark.queries_ext15 import ext15_oracles, ext15_queries  # noqa: E402
 from rdbms_subsetter_spark.queries_tpch import tpch_oracles, tpch_queries  # noqa: E402
 
 
@@ -89,6 +90,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(ext13_queries())
     out.update(ext14_queries())
     out.update(tpch_queries())
+    # round-6 additions registered LAST (grading discipline: new
+    # entries must not displace any not-yet-graded entry; with the
+    # full 223 graded they sort first in the never-graded bucket)
+    out.update(ext15_queries())
     ordered = _grading_order(list(out))
     return {n: out[n] for n in ordered}
 
@@ -112,6 +117,7 @@ def oracle_sql() -> dict[str, str]:
         **ext13_oracles(),
         **ext14_oracles(),
         **tpch_oracles(),
+        **ext15_oracles(),
     }.items():
         if sql is not None:
             out[name] = sql

@@ -153,6 +153,12 @@ HEADLINE = [
     "merge_partition_pruned",
     "streaming_state_introspection",
     "pysource_write_roundtrip",
+    # round 6
+    "sql_qualify_topk",
+    "embed_quant_recall",
+    "join_cardinality_sketch",
+    "streaming_session_append",
+    "incr_agg_retract",
 ]
 
 

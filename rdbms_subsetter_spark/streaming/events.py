@@ -811,3 +811,48 @@ def streaming_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(
         F.col("day_end") < F.lit(wm) - F.expr("INTERVAL 1 SECOND")
     ).drop("day_end")
+
+
+def streaming_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode session windows restricted to the watermark-determinate
+    region — the twin the complete-mode ``streaming_session_counts``
+    entry deliberately avoids.
+
+    In append mode a session is emitted exactly once, when the
+    watermark passes its end (last event + gap): that is the
+    production shape — finalized sessions flow downstream incrementally
+    and state is evicted, instead of re-emitting the whole result every
+    batch.  A bounded replay therefore emits only sessions whose end
+    the final watermark passed; the still-open tail is withheld.  To
+    make that deterministic the result is cut to the provably-complete
+    region: sessions with ``session_end < floor_s(final watermark)``
+    (the cut derives from the finished query's own ``lastProgress``
+    watermark — see ``_final_watermark`` for why whole seconds are the
+    cross-engine-safe grid).  The batch gaps-and-islands oracle applies
+    the same cut as ``max(ts) + gap < date_trunc('second', max(ts))
+    - delay``, so the emitted-and-finalized set is hash-checkable.
+
+    State shape at scale: session state lives only until eviction
+    (watermark-bounded, per-user), and each micro-batch shuffles only
+    its own events into the per-user session store — the unbounded
+    complete-mode result table never exists."""
+    progress: dict = {}
+    out = run_stream_to_memory(
+        spark,
+        session_windows(events_stream(spark, sf_dir)),
+        name="stream_session_append",
+        output_mode="append",
+        # sessions-per-user state: small domain, same sizing reasoning
+        # as streaming_hourly_counts
+        state_partitions=4,
+        progress_out=progress,
+    )
+    cut = progress.get("watermark")
+    if cut is None:
+        return out.limit(0).select(
+            "session_start", "session_end", "user_id", "n_events"
+        )
+    return (
+        out.filter(F.col("session_end") < F.lit(cut))
+        .select("session_start", "session_end", "user_id", "n_events")
+    )

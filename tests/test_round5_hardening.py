@@ -432,9 +432,14 @@ def test_empty_corpus_batch_queries_return_empty(spark):
         "doc_pack_sequences", "filter_eq", "agg_pricing_summary",
         "merge_partition_pruned", "partitioned_source_prune",
         "incr_ingest_watermark",
+        # round 6
+        "sql_qualify_topk", "embed_quant_recall", "incr_agg_retract",
     ]
     for name in empty_ok:
         assert qs[name](spark, out).count() == 0, name
+    # global-aggregate audits legitimately emit one (NULL-laden) row on
+    # empty input — the contract is "no crash, sane shape"
+    assert qs["join_cardinality_sketch"](spark, out).count() == 1
 
     # the DQ suite is the one query that must NOT be empty on empty
     # input: every check reports metric NULL + status 'fail' (no data

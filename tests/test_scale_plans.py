@@ -215,6 +215,7 @@ _BNLJ_ALLOWED = {
     "tpch_idle_customers",         # 1-row global avg(acctbal) (Q22 shape)
     "tpch_important_parts",        # 1-row grand-total sum (Q11 shape)
     "hybrid_search_rrf",           # 1-row BM25 stats agg + 1-row query vector
+    "join_cardinality_sketch",     # 1-row sketch/exact audit aggregates
 }
 
 
@@ -317,3 +318,27 @@ def test_incremental_delta_anti_join_shuffle_free_when_bucketed(spark, cat):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS exist_keys_b")
         spark.sql("DROP TABLE IF EXISTS new_keys_b")
+
+
+def test_qualify_topk_uses_window_group_limit(spark):
+    """The QUALIFY-style rn<=3 predicate must compile to the same
+    physical shape native QUALIFY engines produce: WindowGroupLimit
+    pruning to ≤3 candidates per group before the window sort."""
+    from rdbms_subsetter_spark.queries_ext15 import q_sql_qualify_topk
+
+    plan = physical_plan(q_sql_qualify_topk(spark, SF_SMALL), "simple")
+    assert "WindowGroupLimit" in plan
+
+
+def test_join_cardinality_sketch_never_joins_to_estimate(spark):
+    """The sketch side must estimate the join WITHOUT executing it:
+    the only join in the plan is the exact-audit side (one broadcast
+    of the selective build keys); each HLL is a partial-final
+    aggregate over its own scan."""
+    from rdbms_subsetter_spark.queries_ext15 import q_join_cardinality_sketch
+
+    plan = physical_plan(q_join_cardinality_sketch(spark, SF_SMALL), "simple")
+    assert plan.count("SortMergeJoin") == 0
+    assert "BroadcastHashJoin" in plan  # exact audit: build side broadcast
+    # HLL partials are map-side combined before the 1-row final agg
+    assert "partial_approx_count_distinct" in plan
