@@ -211,13 +211,25 @@ def minhash_lsh_pairs(
     n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Candidate pairs via banded LSH, verified with the estimated
-    Jaccard (= fraction of agreeing minhash components).
+    """Candidate pairs via banded LSH, verified with the TRUE n-gram
+    Jaccard over the shingle sets.
 
     Banding: signature split into ``bands`` groups of ``r = k/bands``;
     docs sharing any full band land in the same bucket.  The bucket
     join is an equi-join on (band_id, band_value...) — shuffle on the
     band hash, never a cross product.
+
+    Verification is deliberately NOT the signature-agreement estimate
+    (fraction of equal minhash components): Kirsch-Mitzenmacher double
+    hashing makes the k components CORRELATED — when two docs share
+    one shingle whose (h1, h2) dominates the argmin, they agree on
+    every component and score est≈1.0 regardless of their true
+    overlap.  The ×8 scale-stress harness (tools/scale_stress.py)
+    caught this as a quadratic blowup of spurious est=1.0 pairs that
+    would megacluster the near-dup graph downstream.  True Jaccard
+    over the already-computed shingle relation costs one extra
+    candidate-bounded join (∝ candidates × avg shingles, never docs²)
+    and makes the banding a pure recall knob, as LSH theory intends.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -236,17 +248,31 @@ def minhash_lsh_pairs(
         .select("doc_id_1", "doc_id_2")
         .distinct()
     )
-    sig1 = sig.select(F.col("doc_id").alias("doc_id_1"), *[F.col(f"mh{i}").alias(f"x{i}") for i in range(num_hashes)])
-    sig2 = sig.select(F.col("doc_id").alias("doc_id_2"), *[F.col(f"mh{i}").alias(f"y{i}") for i in range(num_hashes)])
-    agree = sum(
-        F.when(F.col(f"x{i}") == F.col(f"y{i}"), 1).otherwise(0) for i in range(num_hashes)
+    # exact-Jaccard verify over the shingle relation, bounded by the
+    # candidate list (each candidate pair expands by its |A| shingles,
+    # then equi-joins the other side's shingles)
+    sh = shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    s1 = sh.select(F.col("doc_id").alias("doc_id_1"), "shingle")
+    s2 = sh.select(F.col("doc_id").alias("doc_id_2"), "shingle")
+    shared = (
+        cand.join(s1, on="doc_id_1")
+        .join(s2, on=["doc_id_2", "shingle"])
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(F.count(F.lit(1)).alias("shared"))
     )
+    jac = F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared"))
     return (
-        cand.join(sig1, on="doc_id_1")
-        .join(sig2, on="doc_id_2")
-        .withColumn("est_jaccard", F.round(agree / F.lit(float(num_hashes)), 6))
-        .filter(F.col("est_jaccard") >= threshold)
-        .select("doc_id_1", "doc_id_2", "est_jaccard")
+        shared.join(
+            sizes.select(F.col("doc_id").alias("doc_id_1"), F.col("n_sh").alias("n1")),
+            on="doc_id_1",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_id_2"), F.col("n_sh").alias("n2")),
+            on="doc_id_2",
+        )
+        .filter(jac >= threshold)
+        .select("doc_id_1", "doc_id_2", F.round(jac, 6).alias("jaccard"))
     )
 
 

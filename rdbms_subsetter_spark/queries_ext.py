@@ -315,9 +315,9 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5
         for b in range(bands)
     )
     band_key = " AND ".join(["a.band = c.band"] + [f"a.b{j} = c.b{j}" for j in range(r)])
-    agree = " + ".join(
-        f"CASE WHEN s1.mh{i} = s2.mh{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
-    )
+    # verification mirrors the operator: TRUE Jaccard over shingle sets
+    # (never the KM-correlated signature-agreement estimate — see
+    # dedup.minhash_lsh_pairs)
     return f"""
 WITH {_shingle_cte(3)},
 sig AS (SELECT doc_id, {hash_cols} FROM sh GROUP BY doc_id),
@@ -325,13 +325,20 @@ bandrows AS ({band_selects}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_id_1, c.doc_id AS doc_id_2
   FROM bandrows a JOIN bandrows c ON {band_key}
-  WHERE a.doc_id < c.doc_id)
-SELECT cand.doc_id_1, cand.doc_id_2,
-       round(({agree}) / {float(num_hashes)}, 6) AS est_jaccard
-FROM cand
-JOIN sig s1 ON cand.doc_id_1 = s1.doc_id
-JOIN sig s2 ON cand.doc_id_2 = s2.doc_id
-WHERE ({agree}) / {float(num_hashes)} >= {threshold}
+  WHERE a.doc_id < c.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT cand.doc_id_1, cand.doc_id_2, count(*) AS shared
+  FROM cand
+  JOIN sh sa ON sa.doc_id = cand.doc_id_1
+  JOIN sh sb ON sb.doc_id = cand.doc_id_2 AND sb.shingle = sa.shingle
+  GROUP BY 1, 2)
+SELECT doc_id_1, doc_id_2,
+       round(shared * 1.0 / (n1.n_sh + n2.n_sh - shared), 6) AS jaccard
+FROM shared
+JOIN sizes n1 ON doc_id_1 = n1.doc_id
+JOIN sizes n2 ON doc_id_2 = n2.doc_id
+WHERE shared * 1.0 / (n1.n_sh + n2.n_sh - shared) >= {threshold}
 """
 
 

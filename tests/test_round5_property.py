@@ -265,11 +265,11 @@ def _py_minhash_sig(sh: set, num_hashes: int = 16):
 )
 def test_minhash_lsh_pairs_match_python_replica_exactly(spark, docs):
     """The ENTIRE MinHash+LSH pipeline is deterministic (md5 + KM double
-    hashing, no rand()), so the banded-candidate + threshold output on
-    arbitrary docs must equal a pure-python replica bit-for-bit —
-    including est_jaccard values.  Docs drawn from a 4-word vocabulary
-    so shared shingles (and planted exact duplicates via doc
-    repetition) are common."""
+    hashing for candidates, exact shingle-set Jaccard for verification,
+    no rand()), so the output on arbitrary docs must equal a
+    pure-python replica bit-for-bit — including jaccard values.  Docs
+    drawn from a 4-word vocabulary so shared shingles (and planted
+    exact duplicates via doc repetition) are common."""
     from rdbms_subsetter_spark.operators.dedup import minhash_lsh_pairs
 
     docs = docs + [docs[0]]  # plant at least one identical pair
@@ -279,17 +279,18 @@ def test_minhash_lsh_pairs_match_python_replica_exactly(spark, docs):
     num_hashes, bands, threshold = 16, 4, 0.5
     r = num_hashes // bands
     got = {
-        (x["doc_id_1"], x["doc_id_2"]): x["est_jaccard"]
+        (x["doc_id_1"], x["doc_id_2"]): x["jaccard"]
         for x in minhash_lsh_pairs(
             df, num_hashes=num_hashes, bands=bands, n=3, threshold=threshold
         ).collect()
     }
 
-    sigs = {}
+    sigs, shsets = {}, {}
     for i, d in enumerate(docs):
         sh = _py_shingle_strings(d, 3)
         if sh:
             sigs[i] = _py_minhash_sig(sh, num_hashes)
+            shsets[i] = sh
     want = {}
     ids = sorted(sigs)
     for ai in range(len(ids)):
@@ -302,13 +303,15 @@ def test_minhash_lsh_pairs_match_python_replica_exactly(spark, docs):
             )
             if not shares_band:
                 continue
-            est = round(sum(a == b for a, b in zip(si, sj)) / num_hashes, 6)
-            if est >= threshold:
-                want[(i, j)] = est
+            inter = len(shsets[i] & shsets[j])
+            union = len(shsets[i] | shsets[j])
+            jac = inter / union
+            if jac >= threshold:
+                want[(i, j)] = round(jac, 6)
     assert got == want
 
-    # the planted identical pair must be reported at est 1.0 whenever
-    # the duplicated doc has any shingles at all
+    # the planted identical pair must be reported at jaccard 1.0
+    # whenever the duplicated doc has any shingles at all
     if 0 in sigs:
         assert got[(0, len(docs) - 1)] == 1.0
 

@@ -1,0 +1,175 @@
+"""Scale-stress harness: does each operator's runtime scale ~linearly
+with data volume, holding data CHARACTER constant?
+
+Builds a synthetic ×N dataset from sf0.1 (default N=8, ~4.8M lineitem
+rows) as N disjoint tenant copies — keys shifted into disjoint ranges,
+document token order re-permuted per copy (so near-dup/shingle density
+stays constant instead of every doc gaining N-1 exact duplicates), and
+embeddings regenerated from a per-copy hash formula (so ANN pair
+density stays constant).  Dimension tables (region/nation) are kept
+single-copy, as dims are at 100 TB.
+
+Then runs a representative operator list at sf0.1 and at the scaled
+dir and prints the runtime ratio.  A ratio ≲ N is scale-linear (fixed
+costs amortize, ratios well under N are common locally); a ratio ≫ N
+is a superlinear red flag the plan audit missed.
+
+Usage:  python tools/scale_stress.py [N] [--rebuild]
+Results are recorded in SCALE.md ("Measured scaling" section).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SRC = "/root/testdata/sf0.1"
+KEY_OFFSET = 10**9
+
+QUERIES = [
+    "subset_summary",
+    "subset_integrity",
+    "agg_pricing_summary",
+    "join_revenue_by_nation",
+    "window_rank_running",
+    "sessionize",
+    "events_attribution",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_cc_clusters",
+    "ann_srp_bucketed",
+    "tfidf_bm25",
+    "doc_pack_sequences",
+    "text_stats",
+    "mixture_weighted_sample",
+    "heavy_hitters_tokens",
+]
+
+
+def build(spark, n_copies: int, out: str) -> None:
+    from pyspark.sql import functions as F
+
+    from rdbms_subsetter_spark.catalog import Catalog
+
+    cat = Catalog(spark, SRC)
+    os.makedirs(out, exist_ok=True)
+
+    def shifted(df, copy, cols):
+        for c in cols:
+            df = df.withColumn(c, F.col(c) + F.lit(copy * KEY_OFFSET))
+        return df
+
+    def copies(name, key_cols, transform=None):
+        base = cat[name]
+        parts = []
+        for i in range(n_copies):
+            d = shifted(base, i, key_cols)
+            if transform is not None:
+                d = transform(d, i)
+            parts.append(d)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        df.write.mode("overwrite").parquet(os.path.join(out, f"{name}.parquet"))
+
+    # dims stay single-copy (realistic: dims don't scale with facts)
+    for dim in ("region", "nation"):
+        cat[dim].write.mode("overwrite").parquet(
+            os.path.join(out, f"{dim}.parquet")
+        )
+    copies("customer", ["c_custkey"])
+    copies("supplier", ["s_suppkey"])
+    copies("part", ["p_partkey"])
+    copies("orders", ["o_orderkey", "o_custkey"])
+    copies("lineitem", ["l_orderkey", "l_partkey", "l_suppkey"])
+    copies("events", ["event_id", "user_id"])
+
+    def reorder_text(d, i):
+        # deterministic per-copy POSITION permutation: constant shingle/
+        # near-dup DENSITY across copies (a plain ×N duplication would
+        # give every doc N-1 exact duplicates and inflate every
+        # pair-emitting dedup superlinearly BY CONSTRUCTION, measuring
+        # the synthetic data, not the operator).  The permutation key is
+        # the token POSITION, never the token value: a value-keyed sort
+        # was measured to CORRELATE different docs (shared vocabulary →
+        # shared global order → inflated within-copy Jaccard → 100×
+        # candidate blowup that was the synthetic data's fault).
+        # Position keys keep identical texts identical (exact-dup
+        # density preserved) and leave unrelated docs unrelated.
+        if i == 0:
+            return d
+        toks = F.split(F.col("text"), r"\s+")
+        keyed = F.transform(
+            toks,
+            lambda t, j: F.struct(
+                F.md5(F.concat(j.cast("string"), F.lit(f"#c{i}"))).alias("k"),
+                t.alias("t"),
+            ),
+        )
+        return d.withColumn(
+            "text",
+            F.array_join(
+                F.transform(F.array_sort(keyed), lambda s: s["t"]), " "
+            ),
+        )
+
+    copies("documents", ["doc_id"], reorder_text)
+
+    def fresh_vectors(d, i):
+        if i == 0:
+            return d
+        # per-copy pseudo-random embeddings (constant ANN pair density;
+        # duplicated vectors would make every copy an exact neighbor)
+        dim = 64
+        vec = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (
+                F.pmod(F.xxhash64(F.col("vec_id"), F.lit(i), j), F.lit(2000))
+                / F.lit(1000.0)
+                - F.lit(1.0)
+            ).cast("float"),
+        )
+        return d.withColumn("embedding", vec)
+
+    copies("embeddings", ["vec_id"], fresh_vectors)
+
+
+def main() -> None:
+    n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    out = f"/tmp/rss_scale{n_copies}"
+    from rdbms_subsetter_spark.session import get_spark
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("scale-stress")
+    if "--rebuild" in sys.argv or not os.path.exists(
+        os.path.join(out, "lineitem.parquet")
+    ):
+        t0 = time.time()
+        build(spark, n_copies, out)
+        print(f"built {out} in {time.time() - t0:.1f}s")
+
+    qs = entry_mod.queries()
+
+    def run(name, sf_dir):
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    # warm both inputs once
+    run("agg_pricing_summary", SRC)
+    run("agg_pricing_summary", out)
+    print(f"{'query':28s} {'sf0.1':>8s} {'x' + str(n_copies):>8s}  ratio")
+    for name in QUERIES:
+        a = min(run(name, SRC), run(name, SRC))
+        b = min(run(name, out), run(name, out))
+        print(f"{name:28s} {a:8.2f} {b:8.2f}  {b / max(a, 1e-3):5.1f}x")
+
+
+if __name__ == "__main__":
+    main()
