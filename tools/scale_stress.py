@@ -141,12 +141,16 @@ def build(spark, n_copies: int, out: str) -> None:
 
 
 def main() -> None:
-    n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_copies = int(pos[0]) if pos else 8
     out = f"/tmp/rss_scale{n_copies}"
     from rdbms_subsetter_spark.session import get_spark
     import __spark_entry__ as entry_mod
 
     spark = get_spark("scale-stress")
+    if "--skew" in sys.argv:
+        skew_stress(spark)
+        return
     if "--rebuild" in sys.argv or not os.path.exists(
         os.path.join(out, "lineitem.parquet")
     ):
@@ -169,6 +173,69 @@ def main() -> None:
         a = min(run(name, SRC), run(name, SRC))
         b = min(run(name, out), run(name, out))
         print(f"{name:28s} {a:8.2f} {b:8.2f}  {b / max(a, 1e-3):5.1f}x")
+
+
+# ---------------------------------------------------------------------------
+# skew stress: one hot key holding a large share of the fact table
+# ---------------------------------------------------------------------------
+
+
+def skew_stress(spark, hot_factor: int = 40000) -> None:
+    """Inflate ONE l_orderkey by ``hot_factor`` replications (~30% of
+    the fact table at the default) and measure the skew-safe paths
+    against the plain plans:
+
+    * per-group top-k window: plain `row_number` serializes the hot
+      group into one task; `partitioning.salted_topk` spreads it over
+      salt slices (result-identical, asserted here);
+    * the lineitem⋈orders equi-join under AQE: skew-join splitting is
+      Spark's own answer — measured, not assumed.
+    """
+    from pyspark.sql import Window, functions as F
+
+    from rdbms_subsetter_spark import partitioning
+    from rdbms_subsetter_spark.catalog import Catalog
+
+    cat = Catalog(spark, SRC)
+    li = cat["lineitem"]
+    hot = li.limit(1).select("l_orderkey").collect()[0][0]
+    hot_rows = (
+        li.where(F.col("l_orderkey") == hot)
+        .crossJoin(spark.range(hot_factor).select(F.col("id").alias("__rep")))
+        .drop("__rep")
+    )
+    skewed = li.unionByName(hot_rows).localCheckpoint(eager=True)
+    n = skewed.count()
+    share = skewed.where(F.col("l_orderkey") == hot).count() / n
+    print(f"skewed lineitem: {n} rows, hot key holds {share:.1%}")
+
+    def timed(tag, df):
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        print(f"  {tag:34s} {time.time() - t0:6.2f}s")
+
+    order_cols = ["l_extendedprice", "l_linenumber", "l_partkey", "l_suppkey"]
+    w = Window.partitionBy("l_orderkey").orderBy(*order_cols)
+    plain = (
+        skewed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+    salted = partitioning.salted_topk(skewed, ["l_orderkey"], order_cols, k=3)
+    timed("plain window top-3 (hot key)", plain)
+    timed("salted_topk (hot key)", salted)
+    assert plain.count() == salted.count()
+
+    orders = cat["orders"]
+    j = skewed.join(orders, skewed["l_orderkey"] == orders["o_orderkey"]).groupBy(
+        "o_orderpriority"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("l_extendedprice").alias("rev"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force shuffle join
+    try:
+        timed("shuffle join + agg, AQE skew split", j)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 if __name__ == "__main__":
