@@ -312,7 +312,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     emb = cat["embeddings"]
     queries = emb.filter(F.col("vec_id") % 10 == 0)
-    return similarity.ivf_topk(emb, queries, k=5, n_clusters=16, n_probe=4)
+    return similarity.ivf_topk(emb, queries, k=5, n_clusters="auto", n_probe=4)
 
 
 def q_join_outer_full(spark: SparkSession, sf_dir: str) -> DataFrame:
