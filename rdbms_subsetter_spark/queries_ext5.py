@@ -100,7 +100,7 @@ def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cat = Catalog(spark, sf_dir)
     return similarity.semdedup(
-        cat["embeddings"], n_clusters=16, threshold=0.95, seed=42
+        cat["embeddings"], n_clusters="auto", threshold=0.95, seed=42
     )
 
 
