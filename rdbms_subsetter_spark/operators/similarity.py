@@ -78,6 +78,11 @@ def cosine_topk(
     window takes the global top-k, ranking on the *rounded* score with
     the neighbor id as tiebreak for cross-engine reproducibility.
     Self-matches are excluded.
+
+    Bounded-slack contract: the per-batch local take is top-(k+8) by
+    raw score; >8 same-batch candidates tying at the rounded
+    k-boundary could drop an id the global tiebreak prefers (see
+    ``ivf_topk`` for the full statement of the trade).
     """
     import numpy as np
     import pandas as pd
@@ -312,6 +317,18 @@ def ivf_topk(
     scan per query (489 s at 128k vectors vs 22 s with √n cells, same
     recall contract: probe work ∝ n_probe·n/n_clusters = n_probe·√n).
     A fixed integer is still accepted for exactness fixtures and tests.
+
+    Bounded-slack contract: each probed cell emits its local
+    top-(k+8) candidates per query by RAW score before the global
+    window ranks on the 6-decimal ROUNDED score with ascending-id
+    tiebreak.  If more than 8 candidates within one cell tie at the
+    rounded k-boundary, a smaller-id neighbor the window would prefer
+    can be cut by the local take — the same slack trade ``cosine_topk``
+    makes per Arrow batch.  With continuous (non-quantized) embeddings
+    a 9-way tie at 1e-6 resolution is vanishingly rare; for heavily
+    quantized or duplicate-laden corpora widen the slack (or use
+    ``cosine_topk``, whose batch granularity makes wide ties cheaper to
+    keep) rather than treating the output as exhaustive under ties.
     """
     import numpy as np
     import pandas as pd
@@ -422,8 +439,14 @@ def ivf_topk(
     )
 
     def score_cell(pdf):
+        # empty-group guard MUST precede the iloc[0] cell lookup (an
+        # empty frame has no row 0 to index)
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cosine_raw": []}
+            )
         entry = bc_probes.value.get(int(pdf["cell"].iloc[0]))
-        if entry is None or len(pdf) == 0:
+        if entry is None:
             return pd.DataFrame(
                 {"query_id": [], "neighbor_id": [], "cosine_raw": []}
             )
