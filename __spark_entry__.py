@@ -63,13 +63,26 @@ def _graded_union() -> set[str]:
     return graded
 
 
+# Entries whose SEMANTICS changed this round (operator + oracle moved
+# in lockstep): they already hold a verdict in the union, but that
+# verdict describes the old semantics, so they must re-grade inside
+# this round's ~50-entry window — right after the never-graded bucket.
+_REGRADE_THIS_ROUND = (
+    "dedup_ngram_jaccard",    # r7: capped max_doc_freq=16 configuration
+    "dedup_cc_clusters",      # r7: capped edges + star-contraction engine
+    "dedup_embedding_cosine",  # r7: planes_per_band="auto" (count-scaled)
+)
+
+
 def _grading_order(names: list[str]) -> list[str]:
     """Never-driver-graded entries first, in original registration order
     (module registration is chronological, so this is oldest-debt-first);
-    entries that already hold a driver verdict re-grade last.  Sort
+    then entries whose semantics changed this round (stale verdicts);
+    entries with a current driver verdict re-grade last.  Sort
     stability preserves registration order within each bucket."""
     graded = _graded_union()
-    return sorted(names, key=lambda n: n in graded)
+    changed = set(_REGRADE_THIS_ROUND)
+    return sorted(names, key=lambda n: (n in graded, n in graded and n not in changed))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -155,12 +155,46 @@ def cosine_topk(
     )
 
 
+#: SRP auto-sizing target: keep ~this many vectors per LSH bucket as
+#: the corpus grows (candidate volume ≈ n · target · n_bands / 2).
+SRP_TARGET_BUCKET = 16
+#: Never fewer planes than this (precision floor at small corpora).
+SRP_MIN_PLANES = 8
+
+
+def auto_planes_per_band(
+    n_corpus: int,
+    target_bucket: int = SRP_TARGET_BUCKET,
+    min_planes: int = SRP_MIN_PLANES,
+) -> int:
+    """``planes_per_band ≈ log2(n / target_bucket)``: bucket occupancy
+    stays ~constant as the corpus grows, so LSH candidate volume stays
+    LINEAR in n instead of n²/2^planes at a pinned plane count (the ×64
+    stress run measured 34× growth at fixed planes).
+
+    Exact formula — mirrored verbatim by the DuckDB oracle
+    (queries_ext._srp_near_dup_oracle), so keep the two in lockstep:
+    ``n < target → min_planes`` else
+    ``max(min_planes, floor(log2(n / target)) + 1)``.  Both engines
+    evaluate log2 on IEEE doubles; the floor is stable because
+    log2(n/target) can only land within one ulp of an integer when
+    n/target is an exact power of two, where log2 is exact.
+    """
+    import math
+
+    if n_corpus < target_bucket:
+        return min_planes
+    return max(
+        min_planes, int(math.floor(math.log2(n_corpus / float(target_bucket)))) + 1
+    )
+
+
 def cosine_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,
     dim: int = 64,
     n_bands: int = 8,
-    planes_per_band: int = 6,
+    planes_per_band: "int | str" = 6,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_id_1 < vec_id_2),
@@ -185,12 +219,19 @@ def cosine_near_dup_pairs(
     ~n²·n_bands/2^planes_per_band: keep bucket occupancy constant by
     scaling ``planes_per_band`` ≈ log2(n / target_bucket_size) as the
     corpus grows — bucket membership is semantic, so oversized buckets
-    are fixed by adding planes, not salting.  Pair scoring is an
+    are fixed by adding planes, not salting.
+    ``planes_per_band="auto"`` applies exactly that scaling from one
+    bounded ``count()`` of the corpus (``auto_planes_per_band``; the
+    count is a parquet-footer metadata read, the plan is then built
+    with the derived plane literals).  Pair scoring is an
     Arrow-vectorized pandas UDF (row-wise numpy dot), the same
     numeric path ``cosine_topk`` already hash-matches the oracle with.
     """
     import numpy as np
     from pyspark.sql.types import DoubleType
+
+    if planes_per_band == "auto":
+        planes_per_band = auto_planes_per_band(corpus.count())
 
     @F.pandas_udf(DoubleType())
     def _pair_cos(e1: pd.Series, e2: pd.Series, n1: pd.Series, n2: pd.Series) -> pd.Series:

@@ -190,9 +190,29 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup_groups(cat["documents"])
 
 
+#: Graded hot-shingle cap for the n-gram dedup family (round 7): a
+#: shingle appearing in more than this many docs is dropped from both
+#: the inverted index AND the size denominators, in Spark and the
+#: DuckDB oracle alike.  With an absolute cap the candidate volume is
+#: Σ_shingle min(df, cap)² ≤ cap · Σ df = cap · (total shingle rows) —
+#: LINEAR in corpus size, vs the uncapped Σ df² that the ×8 scale
+#: stress measured at 16.4× (boilerplate shingles fan quadratically).
+#: cap=16 keeps semantics essentially intact on the test corpora
+#: (255/256 pairs at sf0.1 survive; nothing fires at sf0.01's max
+#: df=7) while smaller caps measurably DISTORT Jaccard (cap=4 at
+#: sf0.1: 750 "pairs" at θ=0.8, mostly denominators collapsing).
+NGRAM_MAX_DOC_FREQ = 16
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped configuration (production form): hot shingles with
+    df > NGRAM_MAX_DOC_FREQ are excluded before the self-join; the
+    exact uncapped semantics stay graded as the
+    ``dedup_ngram_jaccard_uncapped`` twin (queries_ext16)."""
     cat = Catalog(spark, sf_dir)
-    return dedup.ngram_jaccard_pairs(cat["documents"], n=3, threshold=0.8)
+    return dedup.ngram_jaccard_pairs(
+        cat["documents"], n=3, threshold=0.8, max_doc_freq=NGRAM_MAX_DOC_FREQ
+    )
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -214,10 +234,19 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (max pairwise cosine ~0.55 — nothing survives a realistic 0.95, and
     LSH recall at low thresholds is intentionally partial); the graded
     semantics are the LSH candidate pipeline itself, which the oracle
-    reproduces plane-for-plane from the same md5 stream."""
+    reproduces plane-for-plane from the same md5 stream.
+
+    ``planes_per_band="auto"`` (round 7): both engines derive the plane
+    count from COUNT(*) via the identical floor(log2(n/16))+1 formula
+    (similarity.auto_planes_per_band ↔ the oracle's params CTE), so
+    bucket occupancy — and with it candidate volume per vector — stays
+    constant as the corpus grows, instead of the 34×-at-×64 blowup the
+    stress harness measured at a pinned plane count.  At the graded
+    SFs (n=500/2000) the formula resolves to the floor of 8 planes,
+    bit-identical to the previous pinned configuration."""
     cat = Catalog(spark, sf_dir)
     return similarity.cosine_near_dup_pairs(
-        cat["embeddings"], threshold=0.4, dim=64, n_bands=8, planes_per_band=8
+        cat["embeddings"], threshold=0.4, dim=64, n_bands=8, planes_per_band="auto"
     )
 
 
@@ -298,6 +327,19 @@ sh AS (
 """
 
 
+def _capped_shingle_cte(cap: int) -> str:
+    """Append to ``_shingle_cte``: the hot-shingle df cap (mirror of
+    ``dedup.ngram_jaccard_pairs(max_doc_freq=cap)``) — shingles in more
+    than ``cap`` docs are dropped from the inverted index AND the size
+    denominators, identically in both engines (df is exact in each)."""
+    return f"""
+shc AS (
+  SELECT s.doc_id, s.shingle FROM sh s
+  JOIN (SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(*) <= {cap}) keep USING (shingle))
+"""
+
+
 def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
     r = num_hashes // bands
     # mirror of dedup._km_hash: one md5 per shingle, double hashing
@@ -360,7 +402,7 @@ def _srp_near_dup_oracle(
     threshold: float = 0.5,
     dim: int = 64,
     n_bands: int = 8,
-    planes_per_band: int = 6,
+    planes_per_band: "int | str" = 6,
     seed: int = 42,
 ) -> str:
     """DuckDB twin of ``similarity.cosine_near_dup_pairs``: regenerates
@@ -368,17 +410,38 @@ def _srp_near_dup_oracle(
     int(md5(f"{seed}|{plane_id}|{i}")[:8], 16) / 2^31 - 1, all exact in
     double), computes per-band bucket ids, and scores only band-bucket
     collisions — candidate-for-candidate the same set as the Spark LSH
-    path, no giant plane literals in the SQL text."""
+    path, no giant plane literals in the SQL text.
+
+    ``planes_per_band="auto"`` mirrors
+    ``similarity.auto_planes_per_band`` with a params CTE:
+    ``n < 16 → 8`` else ``max(8, floor(log2(n/16)) + 1)`` — the SAME
+    IEEE-double log2/floor both engines evaluate (stable: the floor can
+    only straddle an integer when n/16 is an exact power of two, where
+    log2 is exact).  DuckDB's ``range()`` cannot take lateral column
+    arguments, so the plane-id stream is a static 512-id range (plane
+    budget for corpora up to 16·2^64) filtered by ``pid < bands·ppb``
+    BEFORE any md5 is evaluated."""
+    if planes_per_band == "auto":
+        params_cte = (
+            "params AS (SELECT CASE WHEN count(*) < 16 THEN 8 ELSE "
+            "greatest(8, CAST(floor(log2(count(*) / 16.0)) AS INT) + 1) END AS ppb "
+            "FROM embeddings)"
+        )
+        planes_src = f"params, range(512) t(pid), range({dim}) d(i)\n  WHERE pid < {n_bands} * ppb"
+    else:
+        params_cte = f"params AS (SELECT {int(planes_per_band)} AS ppb)"
+        planes_src = f"params, range({n_bands} * {int(planes_per_band)}) t(pid), range({dim}) d(i)"
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+{params_cte},
 planes AS (
-  SELECT CAST(pid // {planes_per_band} AS INT) AS band,
-         CAST(pid % {planes_per_band} AS INT) AS p,
+  SELECT CAST(pid // ppb AS INT) AS band,
+         CAST(pid % ppb AS INT) AS p,
          list(CAST(('0x' || substr(md5({seed} || '|' || pid || '|' || i), 1, 8)) AS BIGINT)
               / 2147483648.0 - 1.0 ORDER BY i) AS plane
-  FROM range({n_bands * planes_per_band}) t(pid), range({dim}) d(i)
-  GROUP BY pid),
+  FROM {planes_src}
+  GROUP BY pid, ppb),
 sig AS (
   SELECT n.vec_id, pl.band,
          sum(CASE WHEN list_dot_product(n.v, pl.plane) > 0
@@ -549,10 +612,11 @@ FROM documents GROUP BY 1
 """,
         "dedup_ngram_jaccard": f"""
 WITH {_shingle_cte(3)},
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+{_capped_shingle_cte(NGRAM_MAX_DOC_FREQ)},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
 shared AS (
   SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS shared
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT doc_id_1, doc_id_2,
        round(shared * 1.0 / (n1.n_sh + n2.n_sh - shared), 6) AS jaccard
@@ -564,7 +628,7 @@ WHERE shared * 1.0 / (n1.n_sh + n2.n_sh - shared) >= 0.8
         "dedup_minhash_lsh": _minhash_oracle(16, 4, 0.5),
         "dedup_simhash": _simhash_oracle(64),
         "dedup_embedding_cosine": _srp_near_dup_oracle(
-            threshold=0.4, dim=64, n_bands=8, planes_per_band=8, seed=42
+            threshold=0.4, dim=64, n_bands=8, planes_per_band="auto", seed=42
         ),
         "ann_cosine_topk": """
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS e,

@@ -17,7 +17,14 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from rdbms_subsetter_spark.catalog import Catalog
 from rdbms_subsetter_spark.operators import text
-from rdbms_subsetter_spark.queries_ext import _EN_STOP, _NORM, _RAW_TOKS, _shingle_cte
+from rdbms_subsetter_spark.queries_ext import (
+    _EN_STOP,
+    _NORM,
+    _RAW_TOKS,
+    _capped_shingle_cte,
+    _shingle_cte,
+    NGRAM_MAX_DOC_FREQ,
+)
 from rdbms_subsetter_spark.streaming import events as streaming_events
 
 
@@ -382,15 +389,32 @@ def q_sql_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: connected components over the n-gram-Jaccard
     pair graph (threshold 0.5) — the step that turns pairwise similarity
-    into dedup groups at corpus scale.  Spark side is an iterative
-    min-label-propagation fixpoint (one shuffle per round, O(diameter)
-    rounds); the oracle proves it equals the transitive closure via a
-    recursive CTE."""
+    into dedup groups at corpus scale.  The oracle proves the result
+    equals the transitive closure via a recursive CTE.
+
+    Round-7 graded configuration — both scale levers on:
+
+    * the pair graph is the CAPPED jaccard join (hot shingles with
+      df > NGRAM_MAX_DOC_FREQ dropped, oracle in lockstep), bounding
+      candidate volume linearly instead of the Σdf² fan the ×8 stress
+      measured at 14×;
+    * the component engine is the alternating large-star/small-star
+      contraction (O(log² n) rounds regardless of component diameter —
+      the production choice for chain-shaped near-dup graphs, where
+      min-label propagation pays O(diameter) shuffles).  The minlabel
+      engine stays graded as ``dedup_cc_clusters_minlabel``
+      (queries_ext16); both are property-tested equivalent against an
+      independent union-find."""
     from rdbms_subsetter_spark.operators import dedup
+    from rdbms_subsetter_spark.queries_ext import NGRAM_MAX_DOC_FREQ
 
     cat = Catalog(spark, sf_dir)
-    edges = dedup.ngram_jaccard_pairs(cat["documents"], n=3, threshold=0.5)
-    return dedup.connected_components(edges).withColumnRenamed("node", "doc_id")
+    edges = dedup.ngram_jaccard_pairs(
+        cat["documents"], n=3, threshold=0.5, max_doc_freq=NGRAM_MAX_DOC_FREQ
+    )
+    return dedup.connected_components(edges, algorithm="star").withColumnRenamed(
+        "node", "doc_id"
+    )
 
 
 def q_merge_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -855,10 +879,11 @@ GROUP BY op, l_suppkey
 """,
         "dedup_cc_clusters": f"""
 WITH RECURSIVE {_shingle_cte(3)},
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+{_capped_shingle_cte(NGRAM_MAX_DOC_FREQ)},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
 shared AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2),
 pairs AS (
   SELECT d1, d2
