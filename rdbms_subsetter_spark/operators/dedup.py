@@ -92,6 +92,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_doc_freq: int | None = None,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by n-gram Jaccard ≥ threshold.
 
@@ -99,6 +100,21 @@ def ngram_jaccard_pairs(
     with ``doc_id_1 < doc_id_2``, count shared shingles, then
     ``J = shared / (|A| + |B| - shared)``.  ``max_doc_freq`` drops
     ultra-common shingles before the join (skew control at scale).
+
+    ``prefix_filter=True`` switches candidate generation to AllPairs
+    prefix filtering (Bayardo et al., WWW'07 "Scaling Up All Pairs
+    Similarity Search"): shingles are globally ordered rarest-first
+    (ascending df, shingle hash as total-order tiebreak) and only each
+    doc's first ``|d| - ⌈θ·|d|⌉ + 1`` shingles enter the candidate
+    join — if two docs share NO prefix shingle, their overlap is
+    confined to suffixes smaller than the ⌈θ·|d|⌉ overlap J ≥ θ
+    requires, so no qualifying pair is missed (result-identical to the
+    full join; property-asserted in tests).  Candidates are then
+    verified with the exact Jaccard over the full shingle relation,
+    bounded by the candidate list.  Round-6 measured this LOSING on
+    flat-df corpora (the prefix barely shrinks when every df is
+    equal); it is kept as an explicit opt-in for Zipf-skewed corpora,
+    re-measured by ``tools/scale_stress.py --zipf``.
     """
     sh = shingles(docs, n, hashed=True)
     if max_doc_freq is not None:
@@ -116,14 +132,44 @@ def ngram_jaccard_pairs(
     # exploded set is ~tokens×n the corpus size.
     sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_id_1"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_id_2"), "shingle")
-    shared = (
-        a.join(b, on="shingle")
-        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
-        .groupBy("doc_id_1", "doc_id_2")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
+    if prefix_filter:
+        from pyspark.sql import Window
+
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        pos_w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+        ranked = (
+            sh.join(dfreq, on="shingle")
+            .withColumn("pos", F.row_number().over(pos_w))
+            .join(sizes, on="doc_id")
+        )
+        prefix = ranked.filter(
+            F.col("pos") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+        ).select("doc_id", "shingle")
+        pa = prefix.select(F.col("doc_id").alias("doc_id_1"), "shingle")
+        pb = prefix.select(F.col("doc_id").alias("doc_id_2"), "shingle")
+        cand = (
+            pa.join(pb, on="shingle")
+            .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+            .select("doc_id_1", "doc_id_2")
+            .distinct()
+        )
+        s1 = sh.select(F.col("doc_id").alias("doc_id_1"), "shingle")
+        s2 = sh.select(F.col("doc_id").alias("doc_id_2"), "shingle")
+        shared = (
+            cand.join(s1, on="doc_id_1")
+            .join(s2, on=["doc_id_2", "shingle"])
+            .groupBy("doc_id_1", "doc_id_2")
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
+    else:
+        a = sh.select(F.col("doc_id").alias("doc_id_1"), "shingle")
+        b = sh.select(F.col("doc_id").alias("doc_id_2"), "shingle")
+        shared = (
+            a.join(b, on="shingle")
+            .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+            .groupBy("doc_id_1", "doc_id_2")
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
     out = (
         shared.join(sizes.withColumnsRenamed({"doc_id": "doc_id_1", "n_sh": "n1"}), on="doc_id_1")
         .join(sizes.withColumnsRenamed({"doc_id": "doc_id_2", "n_sh": "n2"}), on="doc_id_2")

@@ -1,0 +1,181 @@
+"""CI guard for scale-linearity: the superlinearity analog of
+test_scale_plans.py.
+
+tools/scale_stress.py measures RUNTIME ratios at ×8/×64 out-of-band;
+wall-clock in CI is noise-prone, so these tests assert the
+deterministic quantities that drive those runtimes — candidate/pair
+VOLUMES on a small ×4 corpus built with the same density-preserving
+transforms the harness uses (tools.scale_stress.scaled_copies).  Each
+assertion is calibrated to fail on the bug class it guards:
+
+* the round-6 minhash KM-correlation bug made verified pair counts
+  grow quadratically (98% false positives at sf0.1) — the ×4 pair
+  budget here fails under it;
+* an uncapped (or mis-capped) shingle join's candidate volume grows
+  with Σ df² — the capped volume budget fails if the cap stops being
+  applied;
+* a pinned SRP plane count lets bucket-pair volume grow quadratically —
+  the auto-planes budget fails if the count()-scaling is dropped.
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+X4 = 4
+
+
+@pytest.fixture(scope="module")
+def docs_x1(spark):
+    from rdbms_subsetter_spark.catalog import Catalog
+
+    return Catalog(spark, SF_SMALL)["documents"].localCheckpoint(eager=True)
+
+
+@pytest.fixture(scope="module")
+def docs_x4(spark, docs_x1):
+    from tools.scale_stress import permute_doc_text, scaled_copies
+
+    return scaled_copies(docs_x1, X4, ["doc_id"], permute_doc_text).localCheckpoint(
+        eager=True
+    )
+
+
+def test_minhash_verified_pairs_scale_linearly(spark, docs_x1, docs_x4):
+    """True-Jaccard-verified LSH pairs on ×4 disjoint permuted copies
+    stay within the linear budget.  The r6 correlated-estimator bug
+    (signature-agreement verification) reported est≈1.0 for any two
+    docs sharing one argmin-dominant shingle — quadratic false-positive
+    growth that blows this budget immediately."""
+    from rdbms_subsetter_spark.operators.dedup import minhash_lsh_pairs
+
+    p1 = minhash_lsh_pairs(docs_x1, num_hashes=16, bands=4, threshold=0.5).count()
+    p4 = minhash_lsh_pairs(docs_x4, num_hashes=16, bands=4, threshold=0.5).count()
+    assert p1 > 0  # the corpus plants exact dups; recall sanity
+    # each copy contributes its own pairs; permutation adds no cross-
+    # copy near-dups, so linear means ≈ X4·p1 (generous 1.5× headroom)
+    assert p4 <= X4 * p1 * 1.5 + 8, f"superlinear pair growth: {p1} -> {p4}"
+    assert p4 >= X4 * p1 * 0.75, f"recall collapsed: {p1} -> {p4}"
+
+
+def _capped_candidate_volume(docs, cap):
+    """Σ_shingle C(min-capped df, 2): the exact row count the capped
+    inverted-index self-join produces before grouping."""
+    from rdbms_subsetter_spark.operators.dedup import shingles
+
+    dfreq = shingles(docs, 3, hashed=True).groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    if cap is not None:
+        dfreq = dfreq.filter(F.col("df") <= cap)
+    return (
+        dfreq.agg(F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("v")).collect()[0][
+            "v"
+        ]
+        or 0
+    )
+
+
+def test_capped_jaccard_candidate_volume_bounded(spark, docs_x1):
+    """The df cap's guarantee is an ABSOLUTE bound, not a growth rate:
+    Σ_shingle C(min-capped df, 2) ≤ cap/2 · (total shingle rows), i.e.
+    candidate volume is linear in corpus size BY CONSTRUCTION once df
+    crosses the cap.  Asserted on a plain ×4 duplication (every df
+    exactly ×4 — the worst case the density-preserving harness
+    transform deliberately avoids): uncapped volume grows ~16× while
+    capped volume stays under its linear ceiling and strictly below
+    uncapped.  Fails if the cap filter stops being applied."""
+    from rdbms_subsetter_spark.operators.dedup import shingles
+    from rdbms_subsetter_spark.queries_ext import NGRAM_MAX_DOC_FREQ
+    from tools.scale_stress import scaled_copies
+
+    docs_dup4 = scaled_copies(docs_x1, X4, ["doc_id"]).localCheckpoint(eager=True)
+    cap = NGRAM_MAX_DOC_FREQ
+    c1 = _capped_candidate_volume(docs_x1, cap)
+    c4 = _capped_candidate_volume(docs_dup4, cap)
+    u1 = _capped_candidate_volume(docs_x1, None)
+    u4 = _capped_candidate_volume(docs_dup4, None)
+    rows1 = shingles(docs_x1, 3, hashed=True).count()
+    rows4 = shingles(docs_dup4, 3, hashed=True).count()
+    assert c1 > 0
+    # the mathematically guaranteed linear ceiling, at both scales
+    assert c1 <= cap / 2 * rows1
+    assert c4 <= cap / 2 * rows4
+    # exact duplication quadruples every df: uncapped df² mass ≈ ×16,
+    # and the cap must cut hot shingles (base df ≥ 5 → 4·df > 16)
+    assert u4 / u1 > X4 * 3
+    assert c4 < u4
+
+
+def _srp_bucket_pair_volume(emb, planes_per_band, n_bands=8, dim=64, seed=42):
+    """Σ over (band, bucket) of C(size, 2) — the LSH self-join's exact
+    candidate row count for a given plane count."""
+    from rdbms_subsetter_spark.operators.similarity import srp_signature
+
+    total = 0
+    for b in range(n_bands):
+        sizes = (
+            emb.select(
+                srp_signature(
+                    F.col("embedding"), dim, planes_per_band, seed,
+                    plane_offset=b * planes_per_band,
+                ).alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("v"))
+            .collect()[0]["v"]
+        )
+        total += sizes or 0
+    return total
+
+
+def test_srp_auto_planes_bound_bucket_volume(spark):
+    """auto_planes_per_band keeps SRP bucket-pair volume ~linear in
+    corpus size where a pinned plane count grows it quadratically.
+    Uses sf0.1 embeddings (2000 vecs, auto=8 planes) vs their ×4 copy
+    set (8000 vecs, auto=9 planes).  Fails if the graded entry reverts
+    to a pinned count."""
+    from rdbms_subsetter_spark.catalog import Catalog
+    from rdbms_subsetter_spark.operators.similarity import auto_planes_per_band
+    from tools.scale_stress import regenerate_vectors, scaled_copies
+
+    e1 = Catalog(spark, "/root/testdata/sf0.1")["embeddings"].localCheckpoint(
+        eager=True
+    )
+    e4 = scaled_copies(e1, X4, ["vec_id"], regenerate_vectors).localCheckpoint(
+        eager=True
+    )
+    n1, n4 = e1.count(), e4.count()
+    a1, a4 = auto_planes_per_band(n1), auto_planes_per_band(n4)
+    assert (a1, a4) == (8, 9)  # the formula must scale between these sizes
+    v1 = _srp_bucket_pair_volume(e1, a1)
+    v4_auto = _srp_bucket_pair_volume(e4, a4)
+    v4_pinned = _srp_bucket_pair_volume(e4, a1)
+    assert v1 > 0
+    # pinned planes: volume ≈ quadratic (≈16× at ×4); auto: ≈ halved by
+    # the extra plane, back inside the linear budget
+    assert v4_auto < v4_pinned
+    assert v4_auto / v1 <= X4 * 2.5, f"auto-planes volume superlinear: {v4_auto / v1:.1f}x"
+    assert v4_pinned / v1 >= X4 * 2.5  # the guard itself is non-vacuous
+
+
+def test_star_cc_round_budget_on_chain(spark):
+    """Star contraction resolves a diameter-255 path within a
+    logarithmic round budget — measured log2(n)+1 rounds exactly
+    (n=16→5, 64→7, 256→9), budgeted log2(n)+2 here — where minlabel
+    propagation needs ~diameter rounds (255).  The max_iter raise
+    (ADVICE r06) makes this a hard failure if contraction regresses to
+    diameter-bound behavior."""
+    from rdbms_subsetter_spark.operators.dedup import connected_components
+
+    n = 256
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_id_1 long, doc_id_2 long"
+    )
+    got = connected_components(edges, algorithm="star", max_iter=10).collect()
+    assert len(got) == n
+    assert {r["cluster_id"] for r in got} == {0}
+    assert all(r["cluster_size"] == n for r in got)

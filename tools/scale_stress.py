@@ -52,6 +52,71 @@ QUERIES = [
 ]
 
 
+def scaled_copies(base, n_copies: int, key_cols, transform=None):
+    """N disjoint tenant copies of ``base``: key columns shifted into
+    disjoint ranges, with an optional per-copy transform (the
+    density-preserving text permutation / vector regeneration below).
+    Importable by tests (tests/test_scale_ratios.py builds its ×4 CI
+    corpora from the same transforms this harness measures with)."""
+    from pyspark.sql import functions as F
+
+    def shifted(df, copy):
+        for c in key_cols:
+            df = df.withColumn(c, F.col(c) + F.lit(copy * KEY_OFFSET))
+        return df
+
+    parts = []
+    for i in range(n_copies):
+        d = shifted(base, i)
+        if transform is not None:
+            d = transform(d, i)
+        parts.append(d)
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
+def permute_doc_text(d, i: int):
+    """Deterministic per-copy POSITION permutation of document tokens —
+    keeps shingle/near-dup DENSITY constant across copies (see the
+    comment in ``build``)."""
+    from pyspark.sql import functions as F
+
+    if i == 0:
+        return d
+    toks = F.split(F.col("text"), r"\s+")
+    keyed = F.transform(
+        toks,
+        lambda t, j: F.struct(
+            F.md5(F.concat(j.cast("string"), F.lit(f"#c{i}"))).alias("k"),
+            t.alias("t"),
+        ),
+    )
+    return d.withColumn(
+        "text",
+        F.array_join(F.transform(F.array_sort(keyed), lambda s: s["t"]), " "),
+    )
+
+
+def regenerate_vectors(d, i: int, dim: int = 64):
+    """Per-copy pseudo-random embeddings (constant ANN pair density;
+    duplicated vectors would make every copy an exact neighbor)."""
+    from pyspark.sql import functions as F
+
+    if i == 0:
+        return d
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            F.pmod(F.xxhash64(F.col("vec_id"), F.lit(i), j), F.lit(2000))
+            / F.lit(1000.0)
+            - F.lit(1.0)
+        ).cast("float"),
+    )
+    return d.withColumn("embedding", vec)
+
+
 def build(spark, n_copies: int, out: str) -> None:
     from pyspark.sql import functions as F
 
@@ -60,22 +125,8 @@ def build(spark, n_copies: int, out: str) -> None:
     cat = Catalog(spark, SRC)
     os.makedirs(out, exist_ok=True)
 
-    def shifted(df, copy, cols):
-        for c in cols:
-            df = df.withColumn(c, F.col(c) + F.lit(copy * KEY_OFFSET))
-        return df
-
     def copies(name, key_cols, transform=None):
-        base = cat[name]
-        parts = []
-        for i in range(n_copies):
-            d = shifted(base, i, key_cols)
-            if transform is not None:
-                d = transform(d, i)
-            parts.append(d)
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionByName(p)
+        df = scaled_copies(cat[name], n_copies, key_cols, transform)
         df.write.mode("overwrite").parquet(os.path.join(out, f"{name}.parquet"))
 
     # dims stay single-copy (realistic: dims don't scale with facts)
@@ -90,54 +141,18 @@ def build(spark, n_copies: int, out: str) -> None:
     copies("lineitem", ["l_orderkey", "l_partkey", "l_suppkey"])
     copies("events", ["event_id", "user_id"])
 
-    def reorder_text(d, i):
-        # deterministic per-copy POSITION permutation: constant shingle/
-        # near-dup DENSITY across copies (a plain ×N duplication would
-        # give every doc N-1 exact duplicates and inflate every
-        # pair-emitting dedup superlinearly BY CONSTRUCTION, measuring
-        # the synthetic data, not the operator).  The permutation key is
-        # the token POSITION, never the token value: a value-keyed sort
-        # was measured to CORRELATE different docs (shared vocabulary →
-        # shared global order → inflated within-copy Jaccard → 100×
-        # candidate blowup that was the synthetic data's fault).
-        # Position keys keep identical texts identical (exact-dup
-        # density preserved) and leave unrelated docs unrelated.
-        if i == 0:
-            return d
-        toks = F.split(F.col("text"), r"\s+")
-        keyed = F.transform(
-            toks,
-            lambda t, j: F.struct(
-                F.md5(F.concat(j.cast("string"), F.lit(f"#c{i}"))).alias("k"),
-                t.alias("t"),
-            ),
-        )
-        return d.withColumn(
-            "text",
-            F.array_join(
-                F.transform(F.array_sort(keyed), lambda s: s["t"]), " "
-            ),
-        )
-
-    copies("documents", ["doc_id"], reorder_text)
-
-    def fresh_vectors(d, i):
-        if i == 0:
-            return d
-        # per-copy pseudo-random embeddings (constant ANN pair density;
-        # duplicated vectors would make every copy an exact neighbor)
-        dim = 64
-        vec = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda j: (
-                F.pmod(F.xxhash64(F.col("vec_id"), F.lit(i), j), F.lit(2000))
-                / F.lit(1000.0)
-                - F.lit(1.0)
-            ).cast("float"),
-        )
-        return d.withColumn("embedding", vec)
-
-    copies("embeddings", ["vec_id"], fresh_vectors)
+    # documents: position-permuted per copy — constant shingle/near-dup
+    # DENSITY across copies (a plain ×N duplication would give every doc
+    # N-1 exact duplicates and inflate every pair-emitting dedup
+    # superlinearly BY CONSTRUCTION, measuring the synthetic data, not
+    # the operator).  The permutation key is the token POSITION, never
+    # the token value: a value-keyed sort was measured to CORRELATE
+    # different docs (shared vocabulary → shared global order → inflated
+    # within-copy Jaccard → 100× candidate blowup that was the synthetic
+    # data's fault).  Position keys keep identical texts identical
+    # (exact-dup density preserved) and leave unrelated docs unrelated.
+    copies("documents", ["doc_id"], permute_doc_text)
+    copies("embeddings", ["vec_id"], regenerate_vectors)
 
 
 def main() -> None:
@@ -151,6 +166,13 @@ def main() -> None:
     if "--skew" in sys.argv:
         skew_stress(spark)
         return
+    if "--zipf" in sys.argv:
+        zipf_stress(spark, n_copies)
+        return
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = a.split("=", 1)[1].split(",")
     if "--rebuild" in sys.argv or not os.path.exists(
         os.path.join(out, "lineitem.parquet")
     ):
@@ -169,10 +191,124 @@ def main() -> None:
     run("agg_pricing_summary", SRC)
     run("agg_pricing_summary", out)
     print(f"{'query':28s} {'sf0.1':>8s} {'x' + str(n_copies):>8s}  ratio")
-    for name in QUERIES:
+    for name in (only or QUERIES):
         a = min(run(name, SRC), run(name, SRC))
         b = min(run(name, out), run(name, out))
         print(f"{name:28s} {a:8.2f} {b:8.2f}  {b / max(a, 1e-3):5.1f}x")
+
+
+# ---------------------------------------------------------------------------
+# Zipfian shingle-df stress: the natural-corpus frequency shape
+# ---------------------------------------------------------------------------
+
+
+def zipf_build(spark, n_docs: int, out: str, vocab: int = 30_000, doc_len: int = 60):
+    """Deterministic corpus whose token frequencies follow Zipf(1):
+    token rank at (doc, pos) = ⌊V^u⌋ with u uniform from xxhash64 —
+    a log-uniform rank is exactly df ∝ 1/rank.  Shingle (3-gram) df
+    inherits the head-heavy skew: a handful of all-common-token
+    shingles appear in thousands of docs while the tail is unique.
+    This is the regime the round-6 flat-df harness could NOT produce,
+    and the one prefix filtering (AllPairs) is designed for."""
+    from pyspark.sql import functions as F
+
+    toks = F.transform(
+        F.sequence(F.lit(0), F.lit(doc_len - 1)),
+        lambda j: F.concat(
+            F.lit("w"),
+            F.floor(
+                F.pow(
+                    F.lit(float(vocab)),
+                    F.pmod(F.xxhash64(F.col("doc_id"), j), F.lit(1_000_000))
+                    / F.lit(1_000_000.0),
+                )
+            ).cast("string"),
+        ),
+    )
+    df = (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.array_join(toks, " ").alias("text"),
+            F.lit("en").alias("lang"),
+            F.lit("zipf").alias("source"),
+        )
+        .withColumn("n_chars", F.length("text"))
+    )
+    os.makedirs(out, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+
+
+def zipf_stress(spark, n_copies: int = 8, base_docs: int = 5000) -> None:
+    """Re-measure the prefix-filter (AllPairs) trade on Zipf-skewed
+    shingle df, at base and ×N corpus size — the round-6 revert was
+    measured on flat df and SCALE.md flags that as the open question.
+    Also confirms the graded capped configuration stays ~linear here
+    and that prefix filtering is result-identical where feasible."""
+    from pyspark.sql import functions as F
+
+    from rdbms_subsetter_spark.catalog import Catalog
+    from rdbms_subsetter_spark.operators.dedup import ngram_jaccard_pairs, shingles
+    from rdbms_subsetter_spark.queries_ext import NGRAM_MAX_DOC_FREQ
+
+    dirs = {}
+    for n in (base_docs, base_docs * n_copies):
+        d = f"/tmp/rss_zipf_{n}"
+        if not os.path.exists(os.path.join(d, "documents.parquet")):
+            zipf_build(spark, n, d)
+        dirs[n] = d
+
+    for n, d in dirs.items():
+        docs = Catalog(spark, d)["documents"]
+        sh = shingles(docs, 3, hashed=True)
+        stats = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .agg(
+                F.count(F.lit(1)).alias("n_shingles"),
+                F.max("df").alias("max_df"),
+                F.expr("percentile_approx(df, 0.99)").alias("p99_df"),
+                F.sum(F.col("df") * F.col("df")).alias("sum_df2"),
+            )
+            .collect()[0]
+        )
+        print(
+            f"zipf n_docs={n}: shingles={stats['n_shingles']} max_df={stats['max_df']} "
+            f"p99_df={stats['p99_df']} sum_df2={stats['sum_df2']}"
+        )
+
+    def timed(tag, df):
+        t0 = time.time()
+        cnt = df.count()
+        print(f"  {tag:44s} {time.time() - t0:7.2f}s  ({cnt} pairs)")
+        return cnt
+
+    thr = 0.5
+    for n, d in dirs.items():
+        docs = Catalog(spark, d)["documents"]
+        print(f"n_docs={n} (threshold {thr}):")
+        counts = {}
+        counts["capped"] = timed(
+            f"capped df<={NGRAM_MAX_DOC_FREQ} (graded config)",
+            ngram_jaccard_pairs(docs, threshold=thr, max_doc_freq=NGRAM_MAX_DOC_FREQ),
+        )
+        counts["capped+prefix"] = timed(
+            "capped + prefix filter",
+            ngram_jaccard_pairs(
+                docs, threshold=thr, max_doc_freq=NGRAM_MAX_DOC_FREQ, prefix_filter=True
+            ),
+        )
+        counts["prefix"] = timed(
+            "uncapped + prefix filter (AllPairs)",
+            ngram_jaccard_pairs(docs, threshold=thr, prefix_filter=True),
+        )
+        if n <= base_docs:
+            counts["uncapped"] = timed(
+                "uncapped full join (r6 default)",
+                ngram_jaccard_pairs(docs, threshold=thr),
+            )
+            assert counts["uncapped"] == counts["prefix"], "prefix filter changed result"
+        assert counts["capped"] == counts["capped+prefix"], "prefix filter changed result"
 
 
 # ---------------------------------------------------------------------------
