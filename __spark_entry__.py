@@ -36,6 +36,7 @@ from rdbms_subsetter_spark.queries_ext12 import ext12_oracles, ext12_queries  # 
 from rdbms_subsetter_spark.queries_ext13 import ext13_oracles, ext13_queries  # noqa: E402
 from rdbms_subsetter_spark.queries_ext14 import ext14_oracles, ext14_queries  # noqa: E402
 from rdbms_subsetter_spark.queries_ext15 import ext15_oracles, ext15_queries  # noqa: E402
+from rdbms_subsetter_spark.queries_ext16 import ext16_oracles, ext16_queries  # noqa: E402
 from rdbms_subsetter_spark.queries_tpch import tpch_oracles, tpch_queries  # noqa: E402
 
 
@@ -103,10 +104,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(ext13_queries())
     out.update(ext14_queries())
     out.update(tpch_queries())
-    # round-6 additions registered LAST (grading discipline: new
+    # round-6/7 additions registered LAST (grading discipline: new
     # entries must not displace any not-yet-graded entry; with the
-    # full 223 graded they sort first in the never-graded bucket)
+    # full battery graded they sort first in the never-graded bucket)
     out.update(ext15_queries())
+    out.update(ext16_queries())
     ordered = _grading_order(list(out))
     return {n: out[n] for n in ordered}
 
@@ -131,6 +133,7 @@ def oracle_sql() -> dict[str, str]:
         **ext14_oracles(),
         **tpch_oracles(),
         **ext15_oracles(),
+        **ext16_oracles(),
     }.items():
         if sql is not None:
             out[name] = sql

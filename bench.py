@@ -159,6 +159,12 @@ HEADLINE = [
     "join_cardinality_sketch",
     "streaming_session_append",
     "incr_agg_retract",
+    # round 7
+    "dedup_minhash_cross_corpus",
+    "agg_approx_top_k",
+    "streaming_ttl_activity",
+    "dedup_ngram_jaccard_uncapped",
+    "dedup_cc_clusters_minlabel",
 ]
 
 

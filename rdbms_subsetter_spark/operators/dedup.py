@@ -259,6 +259,80 @@ def minhash_signatures(
     )
 
 
+def _band_rows(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Long-form banded signature rows (doc_id, band, b0..b{r-1}) —
+    shared by the self-join and cross-corpus LSH paths."""
+    r = num_hashes // bands
+    out = None
+    for b in range(bands):
+        cols = [F.col(f"mh{b * r + j}").alias(f"b{j}") for j in range(r)]
+        one = sig.select("doc_id", F.lit(b).alias("band"), *cols)
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
+def minhash_cross_corpus_pairs(
+    docs: DataFrame,
+    eval_mod: int = 10,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Train-vs-eval contamination at the SIGNATURE level: LSH candidate
+    pairs across the corpus split (train = doc_id % eval_mod != 0,
+    eval = doc_id % eval_mod == 0), verified with true n-gram Jaccard —
+    the near-duplicate complement of ``decontaminate_ngram``'s exact
+    5-gram hits.  A training document that is a fuzzy copy of an eval
+    document (reworded boilerplate, truncated quote) shares minhash
+    bands without sharing a verbatim 5-gram run; this is the standard
+    signature-level decontamination pass production pipelines run
+    before training.
+
+    Scale shape: identical to ``minhash_lsh_pairs`` — ONE shingle scan
+    (checkpointed) feeds signatures and the verify stage; the bucket
+    join is train-bands ⋈ eval-bands on (band, b0..b{r-1}), so
+    candidates are |train bucket| × |eval bucket| per collision, never
+    train × eval; at 100 TB the (small) eval side's band rows broadcast.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    is_eval = F.col("doc_id") % eval_mod == 0
+    sh = shingles(docs, n).localCheckpoint(eager=True)
+    sig = minhash_signatures(docs, num_hashes, n, shingle_rel=sh)
+    band_rows = _band_rows(sig, num_hashes, bands)
+    key = ["band"] + [f"b{j}" for j in range(r)]
+    train = band_rows.filter(~is_eval).withColumnRenamed("doc_id", "train_doc_id")
+    ev = band_rows.filter(is_eval).withColumnRenamed("doc_id", "eval_doc_id")
+    cand = (
+        train.join(F.broadcast(ev), on=key)
+        .select("train_doc_id", "eval_doc_id")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    s1 = sh.select(F.col("doc_id").alias("train_doc_id"), "shingle")
+    s2 = sh.select(F.col("doc_id").alias("eval_doc_id"), "shingle")
+    shared = (
+        cand.join(s1, on="train_doc_id")
+        .join(s2, on=["eval_doc_id", "shingle"])
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared"))
+    return (
+        shared.join(
+            sizes.select(F.col("doc_id").alias("train_doc_id"), F.col("n_sh").alias("n1")),
+            on="train_doc_id",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("eval_doc_id"), F.col("n_sh").alias("n2")),
+            on="eval_doc_id",
+        )
+        .filter(jac >= threshold)
+        .select("train_doc_id", "eval_doc_id", F.round(jac, 6).alias("jaccard"))
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     num_hashes: int = 16,
@@ -296,11 +370,7 @@ def minhash_lsh_pairs(
     # cluster swap for persist(DISK_ONLY).
     sh = shingles(docs, n).localCheckpoint(eager=True)
     sig = minhash_signatures(docs, num_hashes, n, shingle_rel=sh)
-    band_rows = None
-    for b in range(bands):
-        cols = [F.col(f"mh{b * r + j}").alias(f"b{j}") for j in range(r)]
-        one = sig.select("doc_id", F.lit(b).alias("band"), *cols)
-        band_rows = one if band_rows is None else band_rows.unionByName(one)
+    band_rows = _band_rows(sig, num_hashes, bands)
     key = ["band"] + [f"b{j}" for j in range(r)]
     a = band_rows.select(F.col("doc_id").alias("doc_id_1"), *key)
     b2 = band_rows.select(F.col("doc_id").alias("doc_id_2"), *key)
@@ -484,6 +554,36 @@ def connected_components(
     singleton rows for self-loop-only nodes should union those nodes
     back in themselves.
     """
+    from rdbms_subsetter_spark.session import conf_window
+
+    if algorithm == "star":
+        # star works on each undirected edge represented ONCE as
+        # (hi, lo) — derive it straight from the input without the
+        # symmetric-union materialization minlabel needs (one less
+        # shuffle + checkpoint of the doubled edge set)
+        e = (
+            edges.select(
+                F.greatest(F.col(left), F.col(right)).alias("u"),
+                F.least(F.col(left), F.col(right)).alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # iterative rounds over a label/edge set sized ∝ nodes: per-round
+        # fixed cost scales with shuffle-partition count, so size the
+        # round shuffles to the graph instead of inheriting the batch
+        # width (same discipline as streaming state_partitions; results
+        # are partitioning-independent, AQE re-coalesces on a cluster)
+        with conf_window(edges.sparkSession, {"spark.sql.shuffle.partitions": "8"}):
+            labels = _cc_star_labels(e, max_iter)
+            sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+            out = labels.join(sizes, on="label").select(
+                F.col("node"), F.col("label").alias("cluster_id"), "cluster_size"
+            ).localCheckpoint(eager=True)
+        return out
+    if algorithm != "minlabel":
+        raise ValueError(f"connected_components: unknown algorithm {algorithm!r}")
     sym = (
         edges.select(F.col(left).alias("src"), F.col(right).alias("dst"))
         .union(edges.select(F.col(right).alias("src"), F.col(left).alias("dst")))
@@ -491,14 +591,6 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)  # reused every round: compute edges once
     )
-    if algorithm == "star":
-        labels = _cc_star_labels(sym, max_iter)
-        sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
-        return labels.join(sizes, on="label").select(
-            F.col("node"), F.col("label").alias("cluster_id"), "cluster_size"
-        )
-    if algorithm != "minlabel":
-        raise ValueError(f"connected_components: unknown algorithm {algorithm!r}")
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
@@ -529,10 +621,11 @@ def connected_components(
     )
 
 
-def _cc_star_labels(sym: DataFrame, max_iter: int) -> DataFrame:
-    """Alternating large-star/small-star contraction on a symmetric,
-    self-loop-free, distinct edge list ``(src, dst)``; returns
-    ``(node, label)`` with label = component minimum.
+def _cc_star_labels(e: DataFrame, max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star contraction on a self-loop-free
+    distinct edge list ``(u, v)`` with u > v (each undirected edge
+    represented once); returns ``(node, label)`` with label = component
+    minimum.
 
     One round is two grouped aggregations + re-expansions:
 
@@ -555,13 +648,6 @@ def _cc_star_labels(sym: DataFrame, max_iter: int) -> DataFrame:
     edges localCheckpoint'ed so each round's DAG starts from
     materialized state instead of replaying all prior rounds.
     """
-    # work on undirected edges represented once: (hi, lo) with hi > lo
-    e = (
-        sym.filter(F.col("src") > F.col("dst"))
-        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .localCheckpoint(eager=True)
-    )
-
     def checksum(df: DataFrame):
         row = df.agg(
             F.count(F.lit(1)).alias("n"),

@@ -340,7 +340,17 @@ shc AS (
 """
 
 
-def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+def _minhash_oracle(
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    cross_corpus_mod: int | None = None,
+) -> str:
+    """``cross_corpus_mod=m`` switches the candidate join from the
+    self-pair form (doc_id_1 < doc_id_2) to the train-vs-eval split
+    (train = doc_id % m != 0 joined against eval = doc_id % m == 0,
+    output columns train_doc_id/eval_doc_id) — the oracle twin of
+    ``dedup.minhash_cross_corpus_pairs``."""
     r = num_hashes // bands
     # mirror of dedup._km_hash: one md5 per shingle, double hashing
     h1 = "CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)"
@@ -357,6 +367,13 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5
         for b in range(bands)
     )
     band_key = " AND ".join(["a.band = c.band"] + [f"a.b{j} = c.b{j}" for j in range(r)])
+    if cross_corpus_mod is None:
+        pair_pred = "a.doc_id < c.doc_id"
+        c1, c2 = "doc_id_1", "doc_id_2"
+    else:
+        m = int(cross_corpus_mod)
+        pair_pred = f"a.doc_id % {m} <> 0 AND c.doc_id % {m} = 0"
+        c1, c2 = "train_doc_id", "eval_doc_id"
     # verification mirrors the operator: TRUE Jaccard over shingle sets
     # (never the KM-correlated signature-agreement estimate — see
     # dedup.minhash_lsh_pairs)
@@ -365,21 +382,21 @@ WITH {_shingle_cte(3)},
 sig AS (SELECT doc_id, {hash_cols} FROM sh GROUP BY doc_id),
 bandrows AS ({band_selects}),
 cand AS (
-  SELECT DISTINCT a.doc_id AS doc_id_1, c.doc_id AS doc_id_2
+  SELECT DISTINCT a.doc_id AS {c1}, c.doc_id AS {c2}
   FROM bandrows a JOIN bandrows c ON {band_key}
-  WHERE a.doc_id < c.doc_id),
+  WHERE {pair_pred}),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 shared AS (
-  SELECT cand.doc_id_1, cand.doc_id_2, count(*) AS shared
+  SELECT cand.{c1}, cand.{c2}, count(*) AS shared
   FROM cand
-  JOIN sh sa ON sa.doc_id = cand.doc_id_1
-  JOIN sh sb ON sb.doc_id = cand.doc_id_2 AND sb.shingle = sa.shingle
+  JOIN sh sa ON sa.doc_id = cand.{c1}
+  JOIN sh sb ON sb.doc_id = cand.{c2} AND sb.shingle = sa.shingle
   GROUP BY 1, 2)
-SELECT doc_id_1, doc_id_2,
+SELECT {c1}, {c2},
        round(shared * 1.0 / (n1.n_sh + n2.n_sh - shared), 6) AS jaccard
 FROM shared
-JOIN sizes n1 ON doc_id_1 = n1.doc_id
-JOIN sizes n2 ON doc_id_2 = n2.doc_id
+JOIN sizes n1 ON {c1} = n1.doc_id
+JOIN sizes n2 ON {c2} = n2.doc_id
 WHERE shared * 1.0 / (n1.n_sh + n2.n_sh - shared) >= {threshold}
 """
 

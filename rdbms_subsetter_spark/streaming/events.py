@@ -856,3 +856,99 @@ def streaming_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.filter(F.col("session_end") < F.lit(cut))
         .select("session_start", "session_end", "user_id", "n_events")
     )
+
+
+def streaming_ttl_activity(
+    spark: SparkSession, sf_dir: str, ttl_days: int = 7
+) -> DataFrame:
+    """Per-user trailing-window activity with EVENT-TIME TTL state: a
+    grouped ``applyInPandasWithState`` operator whose state is the list
+    of (event-time µs, event_type) pairs no older than ``ttl_days``
+    behind the user's own running max event time — old entries are
+    EVICTED as the user's clock advances, so state is bounded by
+    events-per-user-per-window, never by history (the custom-state
+    analog of ``dropDuplicatesWithinWatermark``'s TTL).
+
+    Determinism across ANY replay batching (the property that makes
+    this gradable where processing-time TTL is not):
+
+    * eviction is SAFE — an entry evicted at batch b satisfies
+      ts < max_b − TTL ≤ max_final − TTL, so it can never belong to
+      the final trailing window (the user's max only grows);
+    * the user's running max comes from his OWN rows, so after the
+      user's last input batch it equals his final max, and his last
+      emission is exactly the trailing window vs that final max;
+    * counts within a fixed window only grow, so taking each (user,
+      type)'s max count among rows carrying the user's final max
+      timestamp resolves same-max multi-batch emissions.
+
+    The batch oracle is therefore plain SQL: events within
+    ``ttl_days`` of the per-user max(ts), grouped by (user, type).
+
+    Scale shape: state per user is O(events in window); emission per
+    batch is O(types per user); one shuffle on user_id per micro-batch
+    (the stateful exchange); the final selection is a window + agg over
+    the (users × types)-sized sink table.
+    """
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    ttl_us = ttl_days * 24 * 3600 * 1_000_000
+
+    def update(key, pdfs, state):
+        ts0, ty0 = state.get if state.exists else ([], [])
+        ts = list(ts0)
+        ty = list(ty0)
+        for pdf in pdfs:
+            ts.extend(int(v) for v in pdf["ts_us"])
+            ty.extend(pdf["event_type"])
+        umax = max(ts)
+        kept = [(a, b) for a, b in zip(ts, ty) if a >= umax - ttl_us]
+        ts = [a for a, _ in kept]
+        ty = [b for _, b in kept]
+        state.update((ts, ty))
+        counts: dict = {}
+        for b in ty:
+            counts[b] = counts.get(b, 0) + 1
+        items = sorted(counts.items())
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(items),
+                "event_type": [k for k, _ in items],
+                "n_recent": [v for _, v in items],
+                "user_last_us": [umax] * len(items),
+            }
+        )
+
+    rows = (
+        events_stream(spark, sf_dir)
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "user_id long, event_type string, n_recent long, user_last_us long"
+            ),
+            stateStructType="ts array<long>, ty array<string>",
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+    out = run_stream_to_memory(
+        spark, rows, name="stream_ttl_activity", output_mode="update"
+    )
+    w = Window.partitionBy("user_id")
+    return (
+        out.withColumn("final_us", F.max("user_last_us").over(w))
+        .filter(F.col("user_last_us") == F.col("final_us"))
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.max("n_recent").alias("n_recent"),
+            F.max("user_last_us").alias("user_last_us"),
+        )
+    )

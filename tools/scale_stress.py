@@ -169,6 +169,9 @@ def main() -> None:
     if "--zipf" in sys.argv:
         zipf_stress(spark, n_copies)
         return
+    if "--streaming" in sys.argv:
+        streaming_stress(spark, n_copies)
+        return
     only = None
     for a in sys.argv[1:]:
         if a.startswith("--only="):
@@ -195,6 +198,43 @@ def main() -> None:
         a = min(run(name, SRC), run(name, SRC))
         b = min(run(name, out), run(name, out))
         print(f"{name:28s} {a:8.2f} {b:8.2f}  {b / max(a, 1e-3):5.1f}x")
+
+
+# ---------------------------------------------------------------------------
+# streaming replay stress: ×N events volume = ×N micro-batches + ×N state
+# ---------------------------------------------------------------------------
+
+
+def streaming_stress(spark, n_copies: int = 8) -> None:
+    """Replay-volume scaling for every ``streaming_*`` battery entry:
+    the ×N events table is N disjoint user/event-id copies written as N
+    part files, so with ``maxFilesPerTrigger=1`` the bounded replay
+    runs ×N micro-batches over ×N rows with ×N distinct state keys —
+    all three streaming cost axes scale together, the shape a backfill
+    replay has in production.  Ratios ≲ N mean per-batch fixed costs
+    (state store open/commit, offset log, planning) amortize; ratios
+    ≫ N would mean state or planning work grows with TOTAL history
+    rather than per-batch volume (the superlinear failure mode for
+    stateful operators)."""
+    import __spark_entry__ as entry_mod
+
+    out = f"/tmp/rss_scale{n_copies}"
+    if not os.path.exists(os.path.join(out, "events.parquet")):
+        build(spark, n_copies, out)
+    qs = entry_mod.queries()
+    names = sorted(n for n in qs if n.startswith("streaming_"))
+
+    def run(name, sf_dir):
+        t0 = time.time()
+        n_rows = qs[name](spark, sf_dir).count()
+        return time.time() - t0, n_rows
+
+    run(names[0], SRC)  # warm
+    print(f"{'query':32s} {'sf0.1':>8s} {'rows':>7s} {'x' + str(n_copies):>8s} {'rows':>8s}  ratio")
+    for name in names:
+        a, ra = min(run(name, SRC), run(name, SRC))
+        b, rb = min(run(name, out), run(name, out))
+        print(f"{name:32s} {a:8.2f} {ra:7d} {b:8.2f} {rb:8d}  {b / max(a, 1e-3):5.1f}x")
 
 
 # ---------------------------------------------------------------------------
