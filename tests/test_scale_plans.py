@@ -342,3 +342,27 @@ def test_join_cardinality_sketch_never_joins_to_estimate(spark):
     assert "BroadcastHashJoin" in plan  # exact audit: build side broadcast
     # HLL partials are map-side combined before the 1-row final agg
     assert "partial_approx_count_distinct" in plan
+
+
+def test_cross_corpus_minhash_broadcasts_eval_bands(spark):
+    """The eval side (always the small corpus in a train-vs-eval
+    decontamination) must broadcast into the band-bucket join — the
+    train corpus's band rows stream without a symmetric shuffle — and
+    nothing in the plan is a cartesian product."""
+    from rdbms_subsetter_spark.queries_ext16 import q_dedup_minhash_cross_corpus
+
+    plan = physical_plan(q_dedup_minhash_cross_corpus(spark, SF_SMALL), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_approx_top_k_is_single_shuffle_objecthash(spark):
+    """The space-saving sketch must aggregate map-side (one partial +
+    one final ObjectHashAggregate around a single exchange per stage) —
+    the whole point of grading it next to the exact heavy-hitters
+    groupBy, whose shuffle carries every distinct token."""
+    from rdbms_subsetter_spark.queries_ext16 import q_agg_approx_top_k
+
+    plan = physical_plan(q_agg_approx_top_k(spark, SF_SMALL), "simple")
+    assert "ObjectHashAggregate" in plan
+    assert "partial_approx_top_k" in plan  # map-side sketch merge
