@@ -434,6 +434,11 @@ def test_empty_corpus_batch_queries_return_empty(spark):
         "incr_ingest_watermark",
         # round 6
         "sql_qualify_topk", "embed_quant_recall", "incr_agg_retract",
+        # round 7 (incl. the capped/star graded flips)
+        "dedup_ngram_jaccard", "dedup_cc_clusters", "dedup_embedding_cosine",
+        "dedup_minhash_cross_corpus", "agg_approx_top_k",
+        "dedup_ngram_jaccard_uncapped", "dedup_cc_clusters_minlabel",
+        "streaming_ttl_activity",
     ]
     for name in empty_ok:
         assert qs[name](spark, out).count() == 0, name

@@ -49,6 +49,19 @@ QUERIES = [
     "text_stats",
     "mixture_weighted_sample",
     "heavy_hitters_tokens",
+    # round-7 coverage growth: the new entries + previously-unmeasured
+    # families (graph ranking, fuzzy ER, as-of joins, multimodal UDFs,
+    # embedding near-dup at the same x8 volume as the doc operators)
+    "dedup_minhash_cross_corpus",
+    "agg_approx_top_k",
+    "dedup_ngram_jaccard_uncapped",
+    "dedup_cc_clusters_minlabel",
+    "dedup_embedding_cosine",
+    "graph_pagerank",
+    "er_fuzzy_join",
+    "asof_join_latest_order",
+    "multimodal_features",
+    "decontaminate_ngram",
 ]
 
 
