@@ -72,6 +72,7 @@ _REGRADE_THIS_ROUND = (
     "dedup_ngram_jaccard",    # r7: capped max_doc_freq=16 configuration
     "dedup_cc_clusters",      # r7: capped edges + star-contraction engine
     "dedup_embedding_cosine",  # r7: planes_per_band="auto" (count-scaled)
+    "dedup_minhash_lsh",      # r7: independent salted md5 signatures
 )
 
 

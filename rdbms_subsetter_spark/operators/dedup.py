@@ -219,18 +219,6 @@ def _portable_hash(col, salt: int):
     ).cast("long")
 
 
-# Kirsch-Mitzenmacher double hashing: h_i = (h1 + i·h2') mod P, with
-# h1/h2 drawn from ONE md5 per shingle (chars 1-15 / 16-30).  h2 is
-# reduced mod 2^40 so i·h2' stays far from int64 overflow (portable:
-# DuckDB BIGINT raises on overflow, Spark wraps — we avoid both).
-_KM_H2_MOD = 1 << 40
-_KM_P = 1 << 60
-
-
-def _km_hash(i: int, h1, h2):
-    return (h1 + F.lit(i) * (h2 % _KM_H2_MOD)) % _KM_P
-
-
 def minhash_signatures(
     docs: DataFrame,
     num_hashes: int = 16,
@@ -239,20 +227,35 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per doc: one column ``mh_i`` per hash function.
 
-    One explode + one groupBy; ONE md5 per shingle, with the k hash
-    functions derived by double hashing in the same projection.
+    One explode + one groupBy; the k hash functions are TRULY
+    INDEPENDENT salted md5s — ``h_i(s) = int(md5(f"{i}|{s}")[:15],
+    16)``, the same engine-portable scheme as ``_portable_hash``.
+
+    Independence is load-bearing, learned the hard way twice.  The
+    original Kirsch-Mitzenmacher double hashing (k functions derived
+    from ONE md5: h_i = h1 + i·h2') makes the k components CORRELATED:
+    whichever shingle holds the globally minimal (h1, h2) is the
+    argmin for EVERY i, so two docs sharing just that one hot shingle
+    agree on entire bands.  Round 6 caught this corrupting the
+    verification estimate (98% false positives); round 7's ×64
+    document stress caught the SAME correlation corrupting candidate
+    generation — one hot common shingle with the global-minimum hash
+    put 642 docs in one band bucket, 174M candidate pairs, a >600 s
+    runtime where independent hashes produce ~linear candidates.  With
+    independent h_i, P[band collision] = J^r as LSH theory assumes.
+
     ``shingle_rel`` lets a caller that already materialized the
     (doc_id, shingle) relation share it instead of re-deriving the
     normalize+explode scan (``minhash_lsh_pairs`` passes its
     checkpointed verify-stage relation).
     """
     sh = shingles(docs, n) if shingle_rel is None else shingle_rel
-    hx = F.md5(F.col("shingle"))
-    h1 = F.conv(F.substring(hx, 1, 15), 16, 10).cast("long")
-    h2 = F.conv(F.substring(hx, 16, 15), 16, 10).cast("long")
     hashed = sh.select(
         "doc_id",
-        *[_km_hash(i, h1, h2).alias(f"h{i}") for i in range(num_hashes)],
+        *[
+            _portable_hash(F.col("shingle"), i).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
     )
     return hashed.groupBy("doc_id").agg(
         *[F.min(f"h{i}").alias(f"mh{i}") for i in range(num_hashes)]
@@ -349,16 +352,15 @@ def minhash_lsh_pairs(
     band hash, never a cross product.
 
     Verification is deliberately NOT the signature-agreement estimate
-    (fraction of equal minhash components): Kirsch-Mitzenmacher double
-    hashing makes the k components CORRELATED — when two docs share
-    one shingle whose (h1, h2) dominates the argmin, they agree on
-    every component and score est≈1.0 regardless of their true
-    overlap.  The ×8 scale-stress harness (tools/scale_stress.py)
-    caught this as a quadratic blowup of spurious est=1.0 pairs that
-    would megacluster the near-dup graph downstream.  True Jaccard
-    over the already-computed shingle relation costs one extra
-    candidate-bounded join (∝ candidates × avg shingles, never docs²)
-    and makes the banding a pure recall knob, as LSH theory intends.
+    (fraction of equal minhash components) but the TRUE Jaccard over
+    the already-computed shingle relation: one extra candidate-bounded
+    join (∝ candidates × avg shingles, never docs²), making the
+    banding a pure recall knob as LSH theory intends, with exact
+    reported similarity values whatever the signature scheme's
+    variance.  (Historically this guarded against the correlated
+    double-hashed signatures rounds 6/7 removed — see
+    ``minhash_signatures`` — and it remains correct-by-construction
+    for any k.)
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands

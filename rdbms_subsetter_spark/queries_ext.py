@@ -352,11 +352,12 @@ def _minhash_oracle(
     output columns train_doc_id/eval_doc_id) — the oracle twin of
     ``dedup.minhash_cross_corpus_pairs``."""
     r = num_hashes // bands
-    # mirror of dedup._km_hash: one md5 per shingle, double hashing
-    h1 = "CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)"
-    h2 = "CAST(('0x' || substr(md5(shingle), 16, 15)) AS BIGINT)"
+    # mirror of dedup.minhash_signatures: k INDEPENDENT salted md5s
+    # (h_i = int(md5(f"{i}|{s}")[:15], 16), the _portable_hash scheme) —
+    # never the correlated double-hashed derivation, see the operator
+    # docstring for the two measured failures it caused
     hash_cols = ", ".join(
-        f"min(({h1} + {i} * ({h2} % 1099511627776)) % 1152921504606846976) AS mh{i}"
+        f"min(CAST(('0x' || substr(md5('{i}|' || shingle), 1, 15)) AS BIGINT)) AS mh{i}"
         for i in range(num_hashes)
     )
     band_selects = " UNION ALL ".join(
@@ -375,8 +376,7 @@ def _minhash_oracle(
         pair_pred = f"a.doc_id % {m} <> 0 AND c.doc_id % {m} = 0"
         c1, c2 = "train_doc_id", "eval_doc_id"
     # verification mirrors the operator: TRUE Jaccard over shingle sets
-    # (never the KM-correlated signature-agreement estimate — see
-    # dedup.minhash_lsh_pairs)
+    # (never a signature-agreement estimate — see dedup.minhash_lsh_pairs)
     return f"""
 WITH {_shingle_cte(3)},
 sig AS (SELECT doc_id, {hash_cols} FROM sh GROUP BY doc_id),

@@ -241,17 +241,17 @@ def _py_shingle_strings(text: str, n: int = 3):
 
 
 def _py_minhash_sig(sh: set, num_hashes: int = 16):
-    """Replica of dedup.minhash_signatures: ONE md5 per shingle,
-    Kirsch-Mitzenmacher double hashing h_i = (h1 + i*(h2 mod 2^40))
-    mod 2^60, component-wise min over the shingle set."""
-    sig = []
-    hs = []
-    for s in sh:
-        hx = hashlib.md5(s.encode()).hexdigest()
-        hs.append((int(hx[:15], 16), int(hx[15:30], 16)))
-    for i in range(num_hashes):
-        sig.append(min((h1 + i * (h2 % (1 << 40))) % (1 << 60) for h1, h2 in hs))
-    return sig
+    """Replica of dedup.minhash_signatures: k INDEPENDENT salted md5s
+    h_i(s) = int(md5(f"{i}|{s}")[:15], 16), component-wise min over
+    the shingle set (the round-7 scheme — the correlated double-hashed
+    derivation was removed after it megabucketed LSH candidates)."""
+    return [
+        min(
+            int(hashlib.md5(f"{i}|{s}".encode()).hexdigest()[:15], 16)
+            for s in sh
+        )
+        for i in range(num_hashes)
+    ]
 
 
 @SLOW
@@ -264,9 +264,9 @@ def _py_minhash_sig(sh: set, num_hashes: int = 16):
     ),
 )
 def test_minhash_lsh_pairs_match_python_replica_exactly(spark, docs):
-    """The ENTIRE MinHash+LSH pipeline is deterministic (md5 + KM double
-    hashing for candidates, exact shingle-set Jaccard for verification,
-    no rand()), so the output on arbitrary docs must equal a
+    """The ENTIRE MinHash+LSH pipeline is deterministic (independent
+    salted md5s for candidates, exact shingle-set Jaccard for
+    verification, no rand()), so the output on arbitrary docs must equal a
     pure-python replica bit-for-bit — including jaccard values.  Docs
     drawn from a 4-word vocabulary so shared shingles (and planted
     exact duplicates via doc repetition) are common."""
