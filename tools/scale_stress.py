@@ -185,6 +185,9 @@ def main() -> None:
     if "--streaming" in sys.argv:
         streaming_stress(spark, n_copies)
         return
+    if "--docs" in sys.argv:
+        docs_stress(spark, n_copies)
+        return
     only = None
     for a in sys.argv[1:]:
         if a.startswith("--only="):
@@ -211,6 +214,63 @@ def main() -> None:
         a = min(run(name, SRC), run(name, SRC))
         b = min(run(name, out), run(name, out))
         print(f"{name:28s} {a:8.2f} {b:8.2f}  {b / max(a, 1e-3):5.1f}x")
+
+
+# ---------------------------------------------------------------------------
+# documents-only ×N stress: the cheap big rung (×64 fits in minutes)
+# ---------------------------------------------------------------------------
+
+DOC_QUERIES = [
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_minhash_cross_corpus",
+    "dedup_cc_clusters",
+    "dedup_cc_clusters_minlabel",
+    "dedup_simhash",
+    "text_stats",
+    "tfidf_bm25",
+    "heavy_hitters_tokens",
+    "agg_approx_top_k",
+    "decontaminate_ngram",
+    "lang_id",
+]
+
+
+def docs_stress(spark, n_copies: int = 64) -> None:
+    """×N stress for the document-only operator family.  Building just
+    documents.parquet makes a ×64 rung affordable (~20 s build, 320k
+    docs / 16.7M shingle rows from sf0.1) — and ×64 is the rung that
+    caught the correlated-minhash candidate mega-buckets that ×8 could
+    not (SCALE.md round-7): Σ(bucket²) failures need absolute df to
+    cross its threshold, not just more copies."""
+    import __spark_entry__ as entry_mod
+
+    from rdbms_subsetter_spark.catalog import Catalog
+
+    out = f"/tmp/rss_docs{n_copies}"
+    if not os.path.exists(os.path.join(out, "documents.parquet")):
+        t0 = time.time()
+        docs = Catalog(spark, SRC)["documents"]
+        scaled_copies(docs, n_copies, ["doc_id"], permute_doc_text).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, "documents.parquet"))
+        print(f"built {out} in {time.time() - t0:.1f}s")
+
+    qs = entry_mod.queries()
+
+    def run(name, sf_dir):
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    run("text_stats", SRC)
+    run("text_stats", out)
+    print(f"{'query':30s} {'sf0.1':>8s} {'x' + str(n_copies):>8s}  ratio")
+    for name in DOC_QUERIES:
+        a = min(run(name, SRC), run(name, SRC))
+        b = min(run(name, out), run(name, out))
+        print(f"{name:30s} {a:8.2f} {b:8.2f}  {b / max(a, 1e-3):5.1f}x")
 
 
 # ---------------------------------------------------------------------------
