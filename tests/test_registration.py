@@ -56,3 +56,40 @@ def test_every_oracle_has_a_query_and_total_matches():
     assert set(oracles) <= set(qs)
     total = sum(len(d) for d in _module_dicts().values())
     assert len(qs) == total  # nothing shadowed in the merge
+
+
+def test_oracle_changes_carry_a_regrade_marker():
+    """Round-7 grading-order contract, mechanized (r07 verdict ask #8):
+    a graded entry whose oracle TEXT changes without listing itself in
+    ``_REGRADE_THIS_ROUND`` would sail on under a verdict describing
+    the OLD semantics — debt disguised as coverage.  The committed
+    manifest (tests/oracle_manifest.json) pins every oracle's md5;
+    regenerate it with ``python tools/update_oracle_manifest.py`` after
+    any intentional change, and ALSO add the entry to
+    ``_REGRADE_THIS_ROUND`` when the change is semantic."""
+    import json
+    from pathlib import Path
+
+    import __spark_entry__ as m
+    from tools.update_oracle_manifest import oracle_hashes
+
+    manifest = json.loads(
+        (Path(__file__).parent / "oracle_manifest.json").read_text()
+    )
+    live = oracle_hashes()
+    regrade = set(m._REGRADE_THIS_ROUND)
+    changed = [
+        n
+        for n in manifest.keys() & live.keys()
+        if manifest[n] != live[n] and n not in regrade
+    ]
+    assert not changed, (
+        f"oracle text changed without a _REGRADE_THIS_ROUND marker: {changed} "
+        f"— if semantic, add the name(s) to __spark_entry__._REGRADE_THIS_ROUND; "
+        f"then regenerate with `python tools/update_oracle_manifest.py`"
+    )
+    stale = manifest.keys() ^ live.keys()
+    assert not stale, (
+        f"tests/oracle_manifest.json out of date (added/retired entries: "
+        f"{sorted(stale)}) — regenerate with `python tools/update_oracle_manifest.py`"
+    )

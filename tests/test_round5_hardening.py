@@ -437,7 +437,7 @@ def test_empty_corpus_batch_queries_return_empty(spark):
         # round 7 (incl. the capped/star graded flips)
         "dedup_ngram_jaccard", "dedup_cc_clusters", "dedup_embedding_cosine",
         "dedup_minhash_cross_corpus", "agg_approx_top_k",
-        "dedup_ngram_jaccard_uncapped", "dedup_cc_clusters_minlabel",
+        "dedup_cc_clusters_minlabel",
         "streaming_ttl_activity",
     ]
     for name in empty_ok:

@@ -22,7 +22,7 @@ import pytest
 
 from pyspark.sql import functions as F
 
-from tests.conftest import SF_SMALL
+from tests.conftest import SF_BENCH, SF_SMALL
 
 X4 = 4
 
@@ -142,9 +142,9 @@ def test_srp_auto_planes_bound_bucket_volume(spark):
     from rdbms_subsetter_spark.operators.similarity import auto_planes_per_band
     from tools.scale_stress import regenerate_vectors, scaled_copies
 
-    e1 = Catalog(spark, "/root/testdata/sf0.1")["embeddings"].localCheckpoint(
-        eager=True
-    )
+    # sf0.1 on purpose (NOT SF_SMALL): the (8, 9) auto-planes assertion
+    # below needs the 2000-vector corpus size
+    e1 = Catalog(spark, SF_BENCH)["embeddings"].localCheckpoint(eager=True)
     e4 = scaled_copies(e1, X4, ["vec_id"], regenerate_vectors).localCheckpoint(
         eager=True
     )
@@ -160,6 +160,81 @@ def test_srp_auto_planes_bound_bucket_volume(spark):
     assert v4_auto < v4_pinned
     assert v4_auto / v1 <= X4 * 2.5, f"auto-planes volume superlinear: {v4_auto / v1:.1f}x"
     assert v4_pinned / v1 >= X4 * 2.5  # the guard itself is non-vacuous
+
+
+def test_minhash_candidate_buckets_bounded_under_hot_shingle(spark):
+    """Deterministic tripwire for the KM-correlated-signature bug class
+    that bit THREE times (r6 verification, r7 candidate megabuckets in
+    minhash_lsh + cross-corpus): the older guards watch VERIFIED pair
+    counts, which true-Jaccard verification keeps correct even while
+    candidates explode, so a reverted signature scheme would only
+    surface as a ×64 wall-clock timeout.  This asserts the upstream
+    quantity — band-bucket sizes / candidate volume out of
+    ``minhash_signatures`` — on a corpus crafted to detonate under any
+    Kirsch–Mitzenmacher-style derivation.
+
+    Construction: one hot token planted in EVERY doc, chosen as the
+    argmin of unsalted ``md5[:15]`` over the whole token pool.  Under
+    KM (h_i = h1 + i·(h2 mod 2⁴⁰) mod 2⁶⁰, i ≤ 15) the perturbation
+    ~2⁴⁴ cannot overcome the ~2⁴⁸ argmin gap, so the hot token is every
+    doc's argmin for every i → ALL docs share the full signature → one
+    mega-bucket per band (the r7 ×64 failure: 642 docs, 174M pairs).
+    Under k INDEPENDENT salted md5s the hot token wins a given salt
+    with p≈1/31 independently, so 4-hash band agreement between two
+    otherwise-disjoint docs is ~(1/31)⁴-rare and buckets stay tiny.
+    The KM mega-bucket is recomputed here with a hashlib replica as the
+    positive control proving the corpus is actually adversarial."""
+    import hashlib
+
+    from rdbms_subsetter_spark.operators.dedup import _band_rows, minhash_signatures
+
+    n_docs, per_doc = 150, 30
+    pool = [f"w{i:04d}" for i in range(n_docs * per_doc + 101)]
+    km_h1 = {t: int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in pool}
+    hot = min(pool, key=km_h1.get)
+    fillers = [t for t in pool if t != hot]
+    doc_toks = [
+        [hot] + fillers[j * per_doc : (j + 1) * per_doc] for j in range(n_docs)
+    ]
+    docs = spark.createDataFrame(
+        [(j, " ".join(ts)) for j, ts in enumerate(doc_toks)],
+        "doc_id long, text string",
+    )
+
+    # --- positive control: the KM replica mega-buckets on this corpus
+    def km_sig(toks):
+        out = []
+        for i in range(16):
+            best = None
+            for t in toks:
+                hx = hashlib.md5(t.encode()).hexdigest()
+                h1, h2 = int(hx[:15], 16), int(hx[15:30], 16)
+                v = (h1 + i * (h2 % (1 << 40))) % (1 << 60)
+                best = v if best is None else min(best, v)
+            out.append(best)
+        return tuple(out)
+
+    km_sigs = [km_sig(ts) for ts in doc_toks]
+    for band in range(4):
+        buckets = {}
+        for s in km_sigs:
+            buckets.setdefault(s[band * 4 : band * 4 + 4], []).append(1)
+        assert max(len(v) for v in buckets.values()) == n_docs  # one mega-bucket
+
+    # --- the guard: independent salted signatures keep buckets tiny
+    sig = minhash_signatures(docs, num_hashes=16, n=1)
+    sizes = (
+        _band_rows(sig, 16, 4)
+        .groupBy("band", "b0", "b1", "b2", "b3")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    row = sizes.agg(
+        F.max("sz").alias("mx"),
+        F.sum(F.col("sz") * (F.col("sz") - 1) / 2).alias("cand"),
+    ).collect()[0]
+    # KM would score mx=150, cand=4·C(150,2)=44700 — far over budget
+    assert row["mx"] <= 4, f"band mega-bucket: max bucket {row['mx']}"
+    assert (row["cand"] or 0) <= 32, f"candidate volume blew up: {row['cand']}"
 
 
 def test_star_cc_round_budget_on_chain(spark):
