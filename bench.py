@@ -164,6 +164,9 @@ HEADLINE = [
     "agg_approx_top_k",
     "streaming_ttl_activity",
     "dedup_cc_clusters_minlabel",
+    # round 8
+    "dedup_substring_exact",
+    "window_salted_running_total",
 ]
 
 

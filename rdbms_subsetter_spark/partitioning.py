@@ -267,3 +267,60 @@ def split_assignment(
         .when(pct < train_pct + valid_pct, F.lit("valid"))
         .otherwise(F.lit("test")),
     )
+
+
+def salted_running_total(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    bucket: Column,
+    out_col: str = "running_total",
+) -> DataFrame:
+    """Running (prefix) sum per key that survives heavy key skew —
+    result-identical to ``SUM(value) OVER (PARTITION BY key ORDER BY
+    order_cols ROWS UNBOUNDED PRECEDING)``.
+
+    Top-k windows are skew-immune in Spark thanks to WindowGroupLimit
+    pushdown (measured in the round-6 skew study), but a RUNNING
+    aggregate has no such rescue: every row of the hot key flows
+    through one task, one sort, one state.  Hash-salting cannot fix it
+    either — a prefix sum is order-dependent, and a hash salt scatters
+    the order.  The classic distributed prefix-sum shape instead salts
+    on a RANGE of the sort axis (``bucket`` must be a monotone function
+    of the leading order column, e.g. ``date_trunc('day', ts)``):
+
+    1. local running sums per (key, bucket) — the hot key's rows spread
+       over as many tasks as there are buckets;
+    2. per-(key, bucket) totals (tiny aggregate: |keys|·|buckets| rows)
+       get an EXCLUSIVE prefix over buckets — one window over the
+       aggregate, never the raw rows;
+    3. broadcast the offsets back and add.
+
+    Bucket-boundary correctness needs ties between buckets impossible:
+    a monotone bucket of the leading order column guarantees every row
+    of bucket b sorts strictly after all of b-1.  At 100 TB pick the
+    bucket so each (hot key, bucket) slice fits a task — day/hour of an
+    event-time axis is the production norm.
+    """
+    w_local = Window.partitionBy(*key_cols, "__bucket").orderBy(
+        *[F.col(c) for c in order_cols]
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed = df.withColumn("__bucket", bucket)
+    local = bucketed.withColumn("__local", F.sum(F.col(value_col)).over(w_local))
+    w_off = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        bucketed.groupBy(*key_cols, "__bucket")
+        .agg(F.sum(F.col(value_col)).alias("__tot"))
+        .withColumn("__off", F.coalesce(F.sum("__tot").over(w_off), F.lit(0)))
+        .drop("__tot")
+    )
+    return (
+        local.join(F.broadcast(offsets), on=[*key_cols, "__bucket"])
+        .withColumn(out_col, F.col("__local") + F.col("__off"))
+        .drop("__bucket", "__local", "__off")
+    )

@@ -15,6 +15,8 @@ import math
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from rdbms_subsetter_spark.operators.dedup import connected_components, ngram_jaccard_pairs
 
 
@@ -110,3 +112,112 @@ def test_minlabel_raises_on_nonconvergence(spark):
     # and converges cleanly with an adequate budget
     got = connected_components(edges, algorithm="minlabel", max_iter=40).collect()
     assert len(got) == 30 and {r["cluster_id"] for r in got} == {0}
+
+
+# -- round-8 operators --------------------------------------------------------
+
+
+def test_salted_running_total_equals_plain_window(spark):
+    """The range-bucket two-phase prefix sum is result-identical to the
+    plain running window, including bucket boundaries and tie groups
+    split across buckets."""
+    from pyspark.sql import Window
+    from rdbms_subsetter_spark.catalog import Catalog
+    from rdbms_subsetter_spark.partitioning import salted_running_total
+    from tests.conftest import SF_MED
+
+    events = Catalog(spark, SF_MED)["events"]
+    base = events.select(
+        "event_id",
+        "ts",
+        (F.col("user_id") % 5).cast("string").alias("grp"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    got = {
+        r["event_id"]: r["rt"]
+        for r in salted_running_total(
+            base, ["grp"], ["ts", "event_id"], "cents",
+            bucket=F.date_trunc("day", F.col("ts")), out_col="rt",
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r["event_id"]: r["rt"]
+        for r in base.withColumn("rt", F.sum("cents").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_substring_dedup_exact_cases(spark):
+    """Deterministic LCS cases: identical docs (lcs = full length),
+    shared mid-run, run below min_len excluded, short/empty docs safe,
+    and the max_run_freq cap drops universal-boilerplate pairs."""
+    from rdbms_subsetter_spark.operators.dedup import substring_dedup_pairs
+
+    run8 = "r0 r1 r2 r3 r4 r5 r6 r7"
+    docs = spark.createDataFrame(
+        [
+            (0, "a0 a1 a2 " + run8 + " a3 a4"),          # shares run8 with 1
+            (1, "b0 " + run8 + " b1 b2 b3 b4 b5"),
+            (2, "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11"),  # identical to 3
+            (3, "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11"),
+            (4, "d0 d1 r0 r1 r2 r3 r4 d2 d3 d4 d5 d6"),    # only a 5-run with 0/1
+            (5, "short doc"),
+            (6, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id_1"], r["doc_id_2"]): r["lcs_len"]
+        for r in substring_dedup_pairs(docs, min_len=8).collect()
+    }
+    assert got == {(0, 1): 8, (2, 3): 12}
+    # cap=1: every width-8 class here has df ≤ 2, so cap=1 kills all pairs
+    capped = substring_dedup_pairs(docs, min_len=8, max_run_freq=1).collect()
+    assert capped == []
+
+
+@_FUZZ
+@given(
+    seqs=st.lists(
+        st.lists(st.sampled_from(list("abcd")), min_size=0, max_size=24),
+        min_size=2,
+        max_size=5,
+    ),
+    min_len=st.sampled_from([2, 4, 5]),
+)
+def test_substring_dedup_matches_bruteforce_fuzzed(spark, seqs, min_len):
+    """Fuzz vs an independent O(n·m) python LCS over tiny alphabets
+    (maximum run-collision pressure, duplicate docs, empties)."""
+    from rdbms_subsetter_spark.operators.dedup import substring_dedup_pairs
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{c}" for c in s)) for i, s in enumerate(seqs)],
+        "doc_id long, text string",
+    )
+
+    def lcs(a, b):
+        best = 0
+        for i in range(len(a)):
+            for j in range(len(b)):
+                k = 0
+                while i + k < len(a) and j + k < len(b) and a[i + k] == b[j + k]:
+                    k += 1
+                best = max(best, k)
+        return best
+
+    want = {}
+    for i in range(len(seqs)):
+        for j in range(i + 1, len(seqs)):
+            l = lcs(seqs[i], seqs[j])
+            if l >= min_len:
+                want[(i, j)] = l
+    got = {
+        (r["doc_id_1"], r["doc_id_2"]): r["lcs_len"]
+        for r in substring_dedup_pairs(docs, min_len=min_len).collect()
+    }
+    assert got == want
