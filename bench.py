@@ -167,7 +167,23 @@ HEADLINE = [
     # round 8
     "dedup_substring_exact",
     "window_salted_running_total",
+    "closure_bucketed_semi",
 ]
+
+
+def _closure_bucketed_semi(spark, sf_dir):
+    """Bench-only entry (not in the graded battery: it writes managed
+    tables, which the grading driver's sandbox shouldn't): the FK-
+    closure semi-join over pre-bucketed orders/lineitem, with the
+    zero-Exchange plan ASSERTED inside (partitioning.py).  First call
+    per sf_dir pays the one-time bucketed write; min-of-N keeps the
+    steady-state read-side number."""
+    from rdbms_subsetter_spark.partitioning import closure_bucketed_semi
+
+    return closure_bucketed_semi(spark, sf_dir)
+
+
+SPECIAL = {"closure_bucketed_semi": _closure_bucketed_semi}
 
 
 def main() -> None:
@@ -183,7 +199,8 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.001"
     for name in HEADLINE:
         try:
-            qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+            fn = qs.get(name) or SPECIAL[name]
+            fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
         except Exception:
             pass
 
@@ -194,7 +211,7 @@ def main() -> None:
     errors: dict[str, str] = {}
     for _ in range(repeats):
         for name in HEADLINE:
-            fn = qs[name]
+            fn = qs.get(name) or SPECIAL[name]
             t0 = time.perf_counter()
             try:
                 df = fn(spark, SF_DIR)

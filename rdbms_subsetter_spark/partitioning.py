@@ -324,3 +324,82 @@ def salted_running_total(
         .withColumn(out_col, F.col("__local") + F.col("__off"))
         .drop("__bucket", "__local", "__off")
     )
+
+
+def closure_bucketed_semi(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 16
+) -> DataFrame:
+    """The FK-closure hot path (sampled orders → pull owned lineitem via
+    semi-join) over a PRE-BUCKETED layout, end-to-end: this is how the
+    subsetting workload should be laid out on a cluster that runs it
+    recurrently, and the bench entry exists to keep the shuffle-free
+    property measured, not just plan-asserted in tests.
+
+    One-time per (sf_dir): orders and lineitem are written as managed
+    parquet tables bucketed on the join key (o_orderkey / l_orderkey,
+    same bucket count).  The query then samples orders with the
+    portable hash (a Filter preserves the bucketed output partitioning)
+    and semi-joins lineitem against the sample — Catalyst plans a
+    SortMergeJoin over the co-bucketed scans with ZERO Exchange, which
+    this function ASSERTS on the executed plan before returning (a
+    regression to a shuffling plan fails the bench loudly rather than
+    silently costing a full lineitem shuffle at every closure pass —
+    at 100 TB the difference between re-shuffling the fact table per
+    fixpoint iteration and never shuffling it at all).
+    """
+    from rdbms_subsetter_spark.catalog import Catalog
+
+    import hashlib
+
+    # stable across processes (python str hash is seed-randomized): the
+    # bucketed tables are written ONCE per (sf_dir, n_buckets) and
+    # reused by every later bench run
+    tag = hashlib.md5(f"{sf_dir}|{n_buckets}".encode()).hexdigest()[:10]
+    t_orders, t_lineitem = f"bb_orders_{tag}", f"bb_lineitem_{tag}"
+    if not spark.catalog.tableExists(t_lineitem):
+        # the default session catalog is in-memory: bucket METADATA does
+        # not survive the process even though the warehouse directory
+        # does (and a path-read parquet loses bucketing entirely), so a
+        # fresh process must clear the stale location and rewrite.
+        # Within a process the tables are written once and reused.
+        import os
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        for t in (t_orders, t_lineitem):
+            shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+        cat = Catalog(spark, sf_dir)
+        write_bucketed(
+            cat["orders"], t_orders, ["o_orderkey"], n_buckets, ["o_orderkey"]
+        )
+        write_bucketed(
+            cat["lineitem"], t_lineitem, ["l_orderkey"], n_buckets, ["l_orderkey"]
+        )
+    # pin the co-bucketed SortMergeJoin path: at LOCAL scale the planner
+    # correctly prefers broadcasting the 5% sample (and disables the
+    # bucketed scan with it), but at 100 TB that side is tens of GB and
+    # the bucketed zero-shuffle SMJ is the plan this layout exists for —
+    # the bench measures THAT plan.  Conf pinned only for this plan's
+    # compilation (the conf is read at optimization time).
+    from rdbms_subsetter_spark.session import conf_window
+
+    with conf_window(spark, {"spark.sql.autoBroadcastJoinThreshold": "-1"}):
+        orders = spark.table(t_orders)
+        lineitem = spark.table(t_lineitem)
+        sampled = orders.filter(portable_pct(F.col("o_orderkey"), seed=11) < 5)
+        pulled = lineitem.join(
+            sampled.select(F.col("o_orderkey").alias("l_orderkey")),
+            on="l_orderkey",
+            how="left_semi",
+        )
+        plan = pulled._jdf.queryExecution().executedPlan().toString()
+        if "Exchange" in plan:
+            raise AssertionError(
+                "closure_bucketed_semi: expected a shuffle-free co-bucketed "
+                f"semi-join, but the executed plan contains an Exchange:\n{plan}"
+            )
+        # force materialization inside the conf window so the executed
+        # job runs the asserted plan, not a re-optimized one
+        pulled = pulled.localCheckpoint(eager=True)
+    return pulled

@@ -41,7 +41,11 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_dir = os.path.join(tempfile.gettempdir(), f"rss_stream_{tag}")
         os.makedirs(stream_dir, exist_ok=True)
         link = os.path.join(stream_dir, "events.parquet")
-        if not os.path.exists(link):
+        # lexists, not exists: a stale link whose target vanished reads
+        # as "absent" to exists() but still blocks symlink creation
+        if os.path.lexists(link) and not os.path.exists(link):
+            os.remove(link)
+        if not os.path.lexists(link):
             os.symlink(path, link)
     schema = spark.read.parquet(path).schema
     stream = (
@@ -625,7 +629,9 @@ def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_dir = os.path.join(tempfile.gettempdir(), f"rss_docstream_{tag}")
         os.makedirs(stream_dir, exist_ok=True)
         link = os.path.join(stream_dir, "documents.parquet")
-        if not os.path.exists(link):
+        if os.path.lexists(link) and not os.path.exists(link):
+            os.remove(link)  # stale link to a rebuilt/removed target
+        if not os.path.lexists(link):
             os.symlink(path, link)
     schema = spark.read.parquet(path).schema
     return (

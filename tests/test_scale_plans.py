@@ -366,3 +366,23 @@ def test_approx_top_k_is_single_shuffle_objecthash(spark):
     plan = physical_plan(q_agg_approx_top_k(spark, SF_SMALL), "simple")
     assert "ObjectHashAggregate" in plan
     assert "partial_approx_top_k" in plan  # map-side sketch merge
+
+
+def test_closure_bucketed_semi_shuffle_free_and_correct(spark):
+    """The bench-path bucketed closure (partitioning.closure_bucketed_semi)
+    must plan the co-bucketed semi-join with ZERO Exchange — the
+    function raises on any Exchange itself, so calling it IS the plan
+    assertion — and must return exactly the rows the plain (shuffling)
+    path returns."""
+    from rdbms_subsetter_spark.partitioning import closure_bucketed_semi, portable_pct
+
+    cat = Catalog(spark, SF_SMALL)
+    got = closure_bucketed_semi(spark, SF_SMALL)
+    sampled = cat["orders"].filter(portable_pct(F.col("o_orderkey"), seed=11) < 5)
+    want = cat["lineitem"].join(
+        sampled.select(F.col("o_orderkey").alias("l_orderkey")),
+        on="l_orderkey",
+        how="left_semi",
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want.select(*got.columns)).count() == 0

@@ -54,7 +54,8 @@ QUERIES = [
     # embedding near-dup at the same x8 volume as the doc operators)
     "dedup_minhash_cross_corpus",
     "agg_approx_top_k",
-    "dedup_ngram_jaccard_uncapped",
+    # dedup_ngram_jaccard_uncapped retired in r8 (it was THE measured
+    # superlinear control, 15.5x at x8; see queries_ext16.py note)
     "dedup_cc_clusters_minlabel",
     "dedup_embedding_cosine",
     "graph_pagerank",
@@ -109,6 +110,29 @@ def permute_doc_text(d, i: int):
     return d.withColumn(
         "text",
         F.array_join(F.transform(F.array_sort(keyed), lambda s: s["t"]), " "),
+    )
+
+
+def tag_doc_tokens(d, i: int):
+    """Per-copy token TAGGING (``tok`` → ``c3qtok``): the density-
+    preserving transform for RUN-sensitive operators.  The position
+    permutation used for the shingle family keeps shingle-set overlap
+    density but destroys contiguous runs, so a substring-dedup rung
+    built with it would measure an artificially empty candidate space.
+    Tagging preserves every within-copy run and pair EXACTLY (identical
+    texts stay identical, shared runs stay shared, lcs lengths
+    unchanged) while making cross-copy token vocabularies disjoint —
+    constant pair density per copy, zero cross-copy pairs."""
+    from pyspark.sql import functions as F
+
+    if i == 0:
+        return d
+    toks = F.split(F.col("text"), r"\s+")
+    return d.withColumn(
+        "text",
+        F.array_join(
+            F.transform(toks, lambda t: F.concat(F.lit(f"c{i}q"), t)), " "
+        ),
     )
 
 
@@ -187,6 +211,9 @@ def main() -> None:
         return
     if "--docs" in sys.argv:
         docs_stress(spark, n_copies)
+        return
+    if "--events" in sys.argv:
+        events_stress(spark, n_copies)
         return
     only = None
     for a in sys.argv[1:]:
@@ -270,7 +297,19 @@ def docs_stress(spark, n_copies: int = 64) -> None:
     for name in DOC_QUERIES:
         a = min(run(name, SRC), run(name, SRC))
         b = min(run(name, out), run(name, out))
-        print(f"{name:30s} {a:8.2f} {b:8.2f}  {b / max(a, 1e-3):5.1f}x")
+        print(f"{name:30s} {a:8.2f} {b:8.2f}  {b / max(a, 1e-3):5.1f}x", flush=True)
+
+    # run-sensitive family: needs the tag transform (see tag_doc_tokens)
+    tag_out = f"/tmp/rss_docs{n_copies}_tag"
+    if not os.path.exists(os.path.join(tag_out, "documents.parquet")):
+        docs = Catalog(spark, SRC)["documents"]
+        scaled_copies(docs, n_copies, ["doc_id"], tag_doc_tokens).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(tag_out, "documents.parquet"))
+    for name in ("dedup_substring_exact",):
+        a = min(run(name, SRC), run(name, SRC))
+        b = min(run(name, tag_out), run(name, tag_out))
+        print(f"{name + ' (tagged)':30s} {a:8.2f} {b:8.2f}  {b / max(a, 1e-3):5.1f}x", flush=True)
 
 
 # ---------------------------------------------------------------------------
@@ -308,6 +347,85 @@ def streaming_stress(spark, n_copies: int = 8) -> None:
         a, ra = min(run(name, SRC), run(name, SRC))
         b, rb = min(run(name, out), run(name, out))
         print(f"{name:32s} {a:8.2f} {ra:7d} {b:8.2f} {rb:8d}  {b / max(a, 1e-3):5.1f}x")
+
+
+# ---------------------------------------------------------------------------
+# events/join-family ×N stress: the big rung for streaming + joins
+# ---------------------------------------------------------------------------
+
+EVENT_JOIN_QUERIES = [
+    "sessionize",
+    "events_hourly",
+    "events_attribution",
+    "asof_join_latest_order",
+    "asof_join_prev_event",
+    "range_join_price_bands",
+    "join_runtime_bloom",
+    "join_topk_unshipped",
+    "window_salted_running_total",
+]
+
+
+def events_stress(spark, n_copies: int = 64) -> None:
+    """×N stress for the events/streaming/join families — the round-7
+    lesson mechanized for this data family: ×8 hides threshold-crossing
+    failures (Σ bucket², state-store blowups, per-batch planning cost
+    that grows with total history), so the streaming and join tables
+    get their own ×64 rung.  Builds only the tables these families
+    read (events/orders/customer/lineitem/part + single-copy dims) —
+    documents/embeddings are skipped, which is what makes ×64
+    affordable here (~6.4M events / ~38M lineitem rows from sf0.1).
+
+    Streaming entries replay with ``maxFilesPerTrigger=1``, so the ×N
+    union's file count sets the micro-batch count: ×N data = ~×N
+    batches × ×N state keys, all cost axes scaling together."""
+    import __spark_entry__ as entry_mod
+
+    from rdbms_subsetter_spark.catalog import Catalog
+
+    out = f"/tmp/rss_ev{n_copies}"
+    if not os.path.exists(os.path.join(out, "events.parquet")):
+        t0 = time.time()
+        cat = Catalog(spark, SRC)
+        os.makedirs(out, exist_ok=True)
+        for dim in ("region", "nation"):
+            cat[dim].write.mode("overwrite").parquet(
+                os.path.join(out, f"{dim}.parquet")
+            )
+        for name, keys in (
+            ("customer", ["c_custkey"]),
+            ("supplier", ["s_suppkey"]),
+            ("part", ["p_partkey"]),
+            ("orders", ["o_orderkey", "o_custkey"]),
+            ("lineitem", ["l_orderkey", "l_partkey", "l_suppkey"]),
+            ("events", ["event_id", "user_id"]),
+        ):
+            scaled_copies(cat[name], n_copies, keys).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(out, f"{name}.parquet"))
+        print(f"built {out} in {time.time() - t0:.1f}s")
+
+    qs = entry_mod.queries()
+    # streaming_curation_funnel streams DOCUMENTS, which this rung
+    # deliberately doesn't build — it scales with the --docs rung
+    streaming = sorted(
+        n
+        for n in qs
+        if n.startswith("streaming_") and n != "streaming_curation_funnel"
+    )
+
+    def run(name, sf_dir):
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    run("events_hourly", SRC)
+    run("events_hourly", out)
+    print(f"{'query':32s} {'sf0.1':>8s} {'x' + str(n_copies):>8s}  ratio")
+    for name in EVENT_JOIN_QUERIES + streaming:
+        a = min(run(name, SRC), run(name, SRC))
+        b = run(name, out)  # one shot at ×64: minutes-scale runs
+        print(f"{name:32s} {a:8.2f} {b:8.2f}  {b / max(a, 1e-3):5.1f}x", flush=True)
 
 
 # ---------------------------------------------------------------------------
