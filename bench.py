@@ -167,6 +167,9 @@ HEADLINE = [
     # round 8
     "dedup_substring_exact",
     "window_salted_running_total",
+    "dedup_minhash_keep",
+    "agg_hll_rollup",
+    "agg_regression",
     "closure_bucketed_semi",
 ]
 

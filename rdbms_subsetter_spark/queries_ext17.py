@@ -112,6 +112,166 @@ FROM e
 
 
 # ---------------------------------------------------------------------------
+# end-to-end dedup keep set (LSH pairs → components → representative)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_minhash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production OUTPUT of the dedup family: which documents
+    survive.  Chains the graded stages end-to-end — minhash-LSH
+    candidate pairs (16 independent salted-md5 hashes, 4 bands, true-
+    Jaccard verify at θ=0.5) → star-contraction connected components →
+    keep the min-doc_id representative per cluster — and emits one row
+    per corpus document with its cluster id, cluster size, and kept
+    flag (singletons are their own kept cluster of 1).
+
+    Every stage carries its own scale contract (linear candidate
+    volume, O(log² n) contraction rounds); composing them adds only the
+    final left join back to the corpus, shuffled on doc_id.  The oracle
+    mirrors the full chain: the signature/band/verify SQL of
+    dedup_minhash_lsh feeding a recursive-CTE transitive closure."""
+    cat = Catalog(spark, sf_dir)
+    docs = cat["documents"]
+    edges = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4, threshold=0.5)
+    cc = dedup.connected_components(edges, algorithm="star").withColumnRenamed(
+        "node", "doc_id"
+    )
+    out = docs.select("doc_id").join(cc, "doc_id", "left")
+    rep = F.coalesce("cluster_id", F.col("doc_id"))
+    return out.select(
+        "doc_id",
+        rep.alias("cluster_id"),
+        F.coalesce("cluster_size", F.lit(1)).cast("long").alias("n_members"),
+        (rep == F.col("doc_id")).alias("kept"),
+    )
+
+
+def _minhash_keep_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    """Recursive-CTE closure over the dedup_minhash_lsh pair relation
+    (the pair SQL is embedded verbatim via queries_ext._minhash_oracle
+    so the two oracles can never drift apart)."""
+    from rdbms_subsetter_spark.queries_ext import _minhash_oracle
+
+    pairs_sql = _minhash_oracle(num_hashes, bands, threshold).strip()
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+sym AS (SELECT doc_id_1 AS src, doc_id_2 AS dst FROM pairs
+        UNION SELECT doc_id_2, doc_id_1 FROM pairs),
+walk(node, label) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.src, w.label FROM sym s JOIN walk w ON s.dst = w.node),
+lab AS (SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node),
+sized AS (
+  SELECT doc_id, cluster_id,
+         count(*) OVER (PARTITION BY cluster_id) AS n_members
+  FROM lab)
+SELECT d.doc_id,
+       coalesce(s.cluster_id, d.doc_id) AS cluster_id,
+       CAST(coalesce(s.n_members, 1) AS BIGINT) AS n_members,
+       coalesce(s.cluster_id, d.doc_id) = d.doc_id AS kept
+FROM documents d LEFT JOIN sized s ON d.doc_id = s.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# re-mergeable HLL sketch rollup (partials merged ≡ direct, within bound)
+# ---------------------------------------------------------------------------
+
+
+def q_agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB hypertable rollup pattern: per-(type, day) Datasketches
+    HLL partials (``hll_sketch_agg``, lgK=12 ⇒ rsd ≈ 1.6%) stored once,
+    then MERGED upward (``hll_union_agg``) without rescanning raw rows —
+    re-mergeable sketch state is what lets a rollup hierarchy answer
+    distinct-count questions at any resolution from fixed-size state.
+
+    Graded like agg_sketch_error_bounds: exact answers where both
+    engines can compute them (exact distinct users, partial count), and
+    error-contract booleans for the sketch estimates — merged-partials
+    estimate AND direct single-pass estimate both within 10% (±1) of
+    exact, so a regression in the sketch or its merge path breaks the
+    hash.  At lgK=12 the estimates are deterministic per input and
+    measured within 2% at every SF; only the sketch columns survive at
+    scale — exactness here exists to audit them."""
+    cat = Catalog(spark, sf_dir)
+    ev = cat["events"]
+    lgk = 12
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day_ts")
+    ).agg(F.hll_sketch_agg("user_id", F.lit(lgk)).alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(False))).alias("est_merged"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(lgk))).alias(
+            "est_direct"
+        ),
+        F.countDistinct("user_id").alias("n_exact"),
+    )
+    g = direct.join(F.broadcast(merged), on="event_type")
+    tol = F.greatest(F.lit(1.0), F.lit(0.10) * F.col("n_exact"))
+    return g.select(
+        "event_type",
+        "n_exact",
+        "n_days",
+        (F.abs(F.col("est_merged") - F.col("n_exact")) <= tol).alias("merged_ok"),
+        (F.abs(F.col("est_direct") - F.col("n_exact")) <= tol).alias("direct_ok"),
+    )
+
+
+_SQL_HLL_ROLLUP = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+       TRUE AS merged_ok, TRUE AS direct_ok
+FROM events
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# OLS regression aggregates (regr_* family)
+# ---------------------------------------------------------------------------
+
+
+def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregate surface (``regr_slope`` /
+    ``regr_intercept`` / ``regr_r2`` / ``regr_count`` / ``regr_avgx`` /
+    ``regr_avgy``): one-pass distributed OLS of extended price on
+    quantity per return flag — moment sketches (n, Σx, Σy, Σxx, Σxy)
+    merge associatively through the shuffle, so the fit costs exactly
+    one map-side-combined aggregation at any scale.  Rounded to 4
+    decimals for cross-engine double parity (the agg_stats_moments
+    precedent)."""
+    cat = Catalog(spark, sf_dir)
+    li = cat["lineitem"]
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).alias("n_pts"),
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.regr_avgx(y, x), 4).alias("avg_qty"),
+        F.round(F.regr_avgy(y, x), 4).alias("avg_price"),
+    )
+
+
+_SQL_REGRESSION = """
+SELECT l_returnflag,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pts,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+       round(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_qty,
+       round(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -120,6 +280,9 @@ def ext17_queries() -> dict:
     return {
         "dedup_substring_exact": q_dedup_substring_exact,
         "window_salted_running_total": q_window_salted_running_total,
+        "dedup_minhash_keep": q_dedup_minhash_keep,
+        "agg_hll_rollup": q_agg_hll_rollup,
+        "agg_regression": q_agg_regression,
     }
 
 
@@ -127,4 +290,7 @@ def ext17_oracles() -> dict:
     return {
         "dedup_substring_exact": _SQL_SUBSTRING_EXACT,
         "window_salted_running_total": _SQL_SALTED_RUNNING_TOTAL,
+        "dedup_minhash_keep": _minhash_keep_oracle(16, 4, 0.5),
+        "agg_hll_rollup": _SQL_HLL_ROLLUP,
+        "agg_regression": _SQL_REGRESSION,
     }
