@@ -319,8 +319,13 @@ def salted_running_total(
         .withColumn("__off", F.coalesce(F.sum("__tot").over(w_off), F.lit(0)))
         .drop("__tot")
     )
+    # no forced broadcast: offsets is |keys|·|buckets| rows, which grows
+    # with the time axis (buckets) — AQE broadcasts it while it is small
+    # and falls back to a shuffle join when a long history outgrows the
+    # driver, instead of OOMing (the same contract as the cross-corpus
+    # minhash eval side)
     return (
-        local.join(F.broadcast(offsets), on=[*key_cols, "__bucket"])
+        local.join(offsets, on=[*key_cols, "__bucket"])
         .withColumn(out_col, F.col("__local") + F.col("__off"))
         .drop("__bucket", "__local", "__off")
     )

@@ -386,3 +386,66 @@ def test_closure_bucketed_semi_shuffle_free_and_correct(spark):
     )
     assert got.count() == want.count()
     assert got.exceptAll(want.select(*got.columns)).count() == 0
+
+
+def test_agg_regression_single_exchange_pruned_scan(spark):
+    """One map-side-combined aggregation: the six regr_* share the same
+    moment partials, so the plan holds exactly one shuffle, and column
+    pruning reaches the scan (three referenced columns only)."""
+    import re
+
+    from rdbms_subsetter_spark.queries_ext17 import q_agg_regression
+
+    df = q_agg_regression(spark, SF_SMALL)
+    assert count_exchanges(df) == 1
+    m = re.search(r"ReadSchema: struct<([^>]*)>", physical_plan(df, "formatted"))
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"l_returnflag", "l_quantity", "l_extendedprice"}
+
+
+def test_hll_rollup_merges_partial_sketches(spark):
+    """The rollup's upper level must consume PARTIAL SKETCHES
+    (hll_union_agg over the daily hll_sketch_agg buffers), never raw
+    rows, through ObjectHashAggregate; the tiny merged side broadcasts
+    into the audit join."""
+    from rdbms_subsetter_spark.queries_ext17 import q_agg_hll_rollup
+
+    plan = physical_plan(q_agg_hll_rollup(spark, SF_SMALL), "simple")
+    low = plan.lower()
+    assert "hll_sketch_agg" in low and "hll_union_agg" in low
+    assert "objecthashaggregate" in low
+    assert "BroadcastHashJoin" in plan
+
+
+def test_salted_running_total_window_is_bucket_scoped(spark):
+    """The raw-row running window must partition by (key, bucket) — the
+    skew valve — with the bare-key window running only over the tiny
+    per-bucket aggregate (the offsets side).  A regression to one bare-
+    key window over raw rows re-serializes the hot key through a single
+    task."""
+    import re
+
+    from rdbms_subsetter_spark.queries_ext17 import q_window_salted_running_total
+
+    plan = physical_plan(
+        q_window_salted_running_total(spark, SF_SMALL), "simple"
+    )
+    # Window lines end with ...], [<partition cols>], [<order cols>]
+    windows = [
+        (
+            tuple(c.strip().split("#")[0] for c in m.group(1).split(",") if c.strip()),
+            tuple(c.strip().split("#")[0] for c in m.group(2).split(",") if c.strip()),
+        )
+        for m in re.finditer(
+            r"Window \[.*\], \[([^\]]*)\], \[([^\]]*)\]", plan
+        )
+    ]
+    assert len(windows) == 2, plan
+    parts = {p for p, _ in windows}
+    assert ("grp", "__bucket") in parts  # raw-row window is salted
+    assert ("grp",) in parts  # offsets window over the tiny aggregate
+    for p, order in windows:
+        if p == ("grp",):
+            # the bare-key window may only run over the per-bucket
+            # aggregate: ordered by __bucket, never by the raw time axis
+            assert order and order[0] == "__bucket", windows

@@ -147,6 +147,29 @@ COMMENTARY = {
         "bitmaps per (group, bucket), never the distinct values themselves "
         "(count DISTINCT would expand partials to one row per value)."
     ),
+    "agg_regression": (
+        "One-pass distributed OLS: all six regr_* reduce to shared "
+        "(n, Σx, Σy, Σxx, Σxy) moments. Wanted: ONE exchange with "
+        "HashAggregate partial/final around it, scan pruned to the three "
+        "referenced columns (ReadSchema)."
+    ),
+    "agg_hll_rollup": (
+        "Re-mergeable sketch rollup: ObjectHashAggregate carries fixed-size "
+        "HLL buffers; the upper level consumes PARTIAL SKETCHES via "
+        "hll_union_agg, never raw rows — the audit's exact-distinct side "
+        "exists only at gate scale. Wanted: hll_sketch_agg under the daily "
+        "grouping, hll_union_agg above it, broadcast of the tiny merged side."
+    ),
+    "window_salted_running_total": (
+        "Skew-proof running total: per-(key, day-bucket) windows + "
+        "aggregated bucket offsets joined back, instead of ONE global "
+        "per-key window serializing the 97%-hot key through a single task. "
+        "Wanted: the raw-row window partitioned by (grp, __bucket); the "
+        "only bare-grp window runs over the tiny per-bucket AGGREGATE "
+        "(ordered by __bucket, never raw ts); offsets join broadcast at "
+        "this scale (AQE's choice — not forced, so a long history can "
+        "fall back to a shuffle join)."
+    ),
     "child_topk_with_ties": (
         "Per-parent top-k WITH TIES. Wanted: WindowGroupLimit in rank mode, "
         "Partial before the parent-key exchange — ties included, but still "

@@ -66,6 +66,23 @@ QUERIES = [
 ]
 
 
+
+def _release_lingering_blocks(spark):
+    """Between rung measurements: localCheckpoint blocks of FINISHED
+    queries linger until the JVM garbage-collects their RDDs, so
+    successive heavy entries in one session accumulate storage-memory
+    pressure that squeezes execution memory for later entries (measured
+    in the round-8 docs rung: dedup_cc_clusters sf0.1 baseline 14.2 s
+    mid-session after four minhash/jaccard entries vs 5.4 s isolated).
+    Nudging both collectors lets the ContextCleaner drop them."""
+    import gc
+
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+
 def scaled_copies(base, n_copies: int, key_cols, transform=None):
     """N disjoint tenant copies of ``base``: key columns shifted into
     disjoint ranges, with an optional per-copy transform (the
@@ -233,6 +250,7 @@ def main() -> None:
     qs = entry_mod.queries()
 
     def run(name, sf_dir):
+        _release_lingering_blocks(spark)
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.time() - t0
@@ -292,6 +310,7 @@ def docs_stress(spark, n_copies: int = 64) -> None:
     qs = entry_mod.queries()
 
     def run(name, sf_dir):
+        _release_lingering_blocks(spark)
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.time() - t0
@@ -342,6 +361,7 @@ def streaming_stress(spark, n_copies: int = 8) -> None:
     names = sorted(n for n in qs if n.startswith("streaming_"))
 
     def run(name, sf_dir):
+        _release_lingering_blocks(spark)
         t0 = time.time()
         n_rows = qs[name](spark, sf_dir).count()
         return time.time() - t0, n_rows
@@ -422,6 +442,7 @@ def events_stress(spark, n_copies: int = 64) -> None:
     )
 
     def run(name, sf_dir):
+        _release_lingering_blocks(spark)
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.time() - t0
