@@ -70,13 +70,19 @@ def _graded_union() -> set[str]:
 # verdict describes the old semantics, so they must re-grade inside
 # this round's ~50-entry window — right after the never-graded bucket.
 _REGRADE_THIS_ROUND: tuple[str, ...] = (
-    # round 8: empty — the four round-7 flips all re-graded green in the
-    # r07 window and no entry's semantics changed this round.  (The
-    # round-8 AllPairs exact-ceil fix only affects prefix_filter=True,
-    # which no graded entry uses; dedup_ngram_jaccard_uncapped was
-    # retired outright, not re-semantized — see queries_ext16.py.)
-    # Any future semantics flip MUST list itself here; enforced by the
-    # oracle-manifest guard in tests/test_registration.py.
+    # round 8: embed_quant_recall's audited query set gained a fixed-size
+    # cap (vec_id < 10^6, operator + oracle in lockstep) after the ×64
+    # embeddings rung measured the corpus-fraction sample at 388 s /
+    # 260× (recall is a statistic; the sample must not grow with the
+    # corpus).  The cap is inert at every graded SF (max vec_id 4,999 —
+    # outputs bit-identical), but the oracle text changed, so the entry
+    # re-grades per the round-7 contract.  (The round-8 AllPairs
+    # exact-ceil fix only affects prefix_filter=True, which no graded
+    # entry uses; dedup_ngram_jaccard_uncapped was retired outright,
+    # not re-semantized — see queries_ext16.py.)  Any future semantics
+    # flip MUST list itself here; enforced by the oracle-manifest guard
+    # in tests/test_registration.py.
+    "embed_quant_recall",
 )
 
 

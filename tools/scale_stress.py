@@ -236,6 +236,9 @@ def main() -> None:
     if "--events" in sys.argv:
         events_stress(spark, n_copies)
         return
+    if "--emb" in sys.argv:
+        emb_stress(spark, n_copies)
+        return
     only = None
     for a in sys.argv[1:]:
         if a.startswith("--only="):
@@ -501,6 +504,63 @@ def measure_one(name: str, src: str, out: str) -> None:
     b = run(out)
     print(f"RESULT {name} {a:.2f} {b:.2f}", flush=True)
     spark.stop()
+
+
+# ---------------------------------------------------------------------------
+# embeddings/similarity-family ×N stress
+# ---------------------------------------------------------------------------
+
+EMB_QUERIES = [
+    "embed_norm_stats",
+    "embed_quantize_int8",
+    "embed_quant_recall",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "ann_srp_bucketed",
+    "ann_ivf_topk",
+    "knn_graph_degree",
+    "embed_pca_project",
+]
+
+
+def emb_stress(spark, n_copies: int = 64) -> None:
+    """×N stress for the similarity family: embeddings regenerated per
+    copy from the hash formula (constant ANN pair density — duplicated
+    vectors would make every copy an exact neighbor), so ×64 = 128k
+    64-dim vectors from sf0.1's 2k.  The exact kernels (cosine_topk,
+    knn_graph) are measured on purpose: their cost is the quadratic
+    floor the bucketed/IVF paths exist to beat, and the auto-scaling
+    knobs (SRP planes from COUNT(*), IVF √n cells) are exactly what a
+    pinned-knob rung would mismeasure."""
+    import __spark_entry__ as entry_mod
+
+    from rdbms_subsetter_spark.catalog import Catalog
+
+    out = f"/tmp/rss_emb{n_copies}"
+    if not os.path.exists(os.path.join(out, "embeddings.parquet")):
+        t0 = time.time()
+        os.makedirs(out, exist_ok=True)
+        scaled_copies(
+            Catalog(spark, SRC)["embeddings"], n_copies, ["vec_id"],
+            regenerate_vectors,
+        ).write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+        print(f"built {out} in {time.time() - t0:.1f}s")
+
+    qs = entry_mod.queries()
+
+    def run(name, sf_dir):
+        _release_lingering_blocks(spark)
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    run("embed_norm_stats", SRC)
+    run("embed_norm_stats", out)
+    print(f"{'query':26s} {'sf0.1':>8s} {'x' + str(n_copies):>8s}  ratio")
+    for name in EMB_QUERIES:
+        a = min(run(name, SRC), run(name, SRC))
+        b = min(run(name, out), run(name, out))
+        print(f"{name:26s} {a:8.2f} {b:8.2f}  {b / max(a, 1e-3):5.1f}x", flush=True)
 
 
 # ---------------------------------------------------------------------------
