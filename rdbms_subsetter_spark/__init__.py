@@ -13,6 +13,11 @@ All behavior is derived from public knowledge of the upstream repo
 (github.com/18F/rdbms-subsetter, CC0) and the Apache Spark API.
 """
 
+# Import order is load-bearing: _blas sets OPENBLAS/OMP thread-count
+# env defaults BEFORE anything pulls in numpy, so every process that
+# imports this package gets one-BLAS-thread-per-task discipline.
+from rdbms_subsetter_spark import _blas as _blas  # noqa: F401
+
 from rdbms_subsetter_spark.constraints import ConstraintRegistry, ForeignKey
 from rdbms_subsetter_spark.catalog import Catalog
 

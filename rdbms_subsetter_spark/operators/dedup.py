@@ -954,6 +954,9 @@ def substring_dedup_pairs(
     def lcs_batches(batches):
         import numpy as np
 
+        from rdbms_subsetter_spark._blas import limit_blas_threads
+
+        limit_blas_threads()
         for pdf in batches:
             lens = []
             for t1, t2 in zip(pdf["t1"], pdf["t2"]):

@@ -25,6 +25,8 @@ import pandas as pd  # module-level: pandas_udf resolves 'pd.Series' hints here
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from rdbms_subsetter_spark._blas import limit_blas_threads
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ a_i·b_i in double precision, strict left-to-right fold."""
@@ -110,6 +112,7 @@ def cosine_topk(
     )
 
     def scan(batches):
+        limit_blas_threads()
         ids, mat, nrm = bc.value
         n_q = len(ids)
         for pdf in batches:
@@ -235,6 +238,7 @@ def cosine_near_dup_pairs(
 
     @F.pandas_udf(DoubleType())
     def _pair_cos(e1: pd.Series, e2: pd.Series, n1: pd.Series, n2: pd.Series) -> pd.Series:
+        limit_blas_threads()
         m1 = np.array(list(e1), dtype=np.float64)
         m2 = np.array(list(e2), dtype=np.float64)
         return pd.Series((m1 * m2).sum(axis=1) / (n1.to_numpy() * n2.to_numpy()))
@@ -410,6 +414,7 @@ def ivf_topk(
     )
 
     def assign(batches):
+        limit_blas_threads()
         # emit UNIT vectors (float32 on the Arrow wire): the probe join
         # then scores with a bare dot product — hoisting the norms into
         # this one-pass scan turns O(candidates·dim) norm work into
@@ -480,6 +485,7 @@ def ivf_topk(
     )
 
     def score_cell(pdf):
+        limit_blas_threads()
         # empty-group guard MUST precede the iloc[0] cell lookup (an
         # empty frame has no row 0 to index)
         if len(pdf) == 0:
@@ -703,6 +709,7 @@ def semdedup(
     )
 
     def assign(batches):
+        limit_blas_threads()
         # emit UNIT vectors: the intra-cell pair join then scores with a
         # bare dot product — per-pair norm recomputation is the dominant
         # arithmetic otherwise (norms are O(pairs·dim) if left in the
@@ -735,6 +742,7 @@ def semdedup(
     cells = corpus.select("vec_id", "embedding").mapInPandas(assign, assign_schema)
 
     def dedup_cell(pdf):
+        limit_blas_threads()
         # one cell: blocked Gram matrix over unit vectors; b is dropped
         # iff any a < b (id order) has cos(a,b) ≥ threshold.  Blocking
         # bounds memory at B×m per step even for skew-inflated cells.
@@ -791,6 +799,7 @@ def pca_fit_project(
     import pandas as pd
 
     def partial_stats(batches):
+        limit_blas_threads()
         n = 0
         s = None
         ss = None

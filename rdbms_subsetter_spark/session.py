@@ -26,6 +26,16 @@ def get_spark(app_name: str = "rdbms_subsetter_spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # One BLAS thread per Python worker: Spark supplies the
+        # task-level parallelism; an OpenBLAS pool on top of 32 task
+        # slots oversubscribes the host (or the executor, on a real
+        # cluster) and showed up as 4-8x bench variance in the numpy
+        # kernels.  Belt (worker env here) and suspenders
+        # (_blas.limit_blas_threads inside every Arrow kernel, which
+        # also covers sessions we did not create).
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         # managed-table root (bucketed layouts) — scratch space, not cwd
         .config(
             "spark.sql.warehouse.dir",

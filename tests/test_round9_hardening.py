@@ -1,0 +1,86 @@
+"""Round-9 hardening: BLAS thread discipline in Arrow kernels.
+
+The round-8 driver bench breached the 2x gate on exactly the
+numpy/BLAS entries (knn_graph_degree 4.7x, ann_ivf_topk 2.3x, ...).
+Root cause measured in this round: numpy's bundled OpenBLAS defaults
+its pool to ncpu (32 here), so 32 concurrent Python workers ran up to
+1024 BLAS threads on 32 CPUs.  ``rdbms_subsetter_spark._blas`` caps
+the pool to 1 thread per worker; these tests pin that contract.
+"""
+
+import os
+import subprocess
+import sys
+import textwrap
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_env_defaults_set_on_package_import():
+    """Importing the package before numpy must default every BLAS
+    pool-size env var to 1 (fresh process so this test is order-proof)."""
+    code = textwrap.dedent(
+        """
+        import os
+        import rdbms_subsetter_spark  # noqa: F401
+        from rdbms_subsetter_spark._blas import BLAS_ENV_VARS
+        assert all(os.environ.get(v) == "1" for v in BLAS_ENV_VARS), \
+            {v: os.environ.get(v) for v in BLAS_ENV_VARS}
+        """
+    )
+    env = {k: v for k, v in os.environ.items() if "NUM_THREADS" not in k}
+    env["PYTHONPATH"] = REPO
+    subprocess.run([sys.executable, "-c", code], check=True, env=env, timeout=120)
+
+
+def test_limit_blas_threads_caps_live_pool():
+    """Even when numpy initialises its pool FIRST (env unset, the
+    driver-owned-session scenario), the ctypes call must cap it."""
+    code = textwrap.dedent(
+        """
+        import numpy as np
+        a = np.random.rand(64, 64); _ = a @ a  # force pool init at default
+        from rdbms_subsetter_spark._blas import (
+            get_openblas_threads, limit_blas_threads)
+        before = get_openblas_threads()
+        assert before is not None
+        limit_blas_threads()
+        after = get_openblas_threads()
+        assert after == 1, (before, after)
+        _ = a @ a  # matmul still works single-threaded
+        """
+    )
+    env = {k: v for k, v in os.environ.items() if "NUM_THREADS" not in k}
+    env["PYTHONPATH"] = REPO
+    subprocess.run([sys.executable, "-c", code], check=True, env=env, timeout=120)
+
+
+def test_blas_capped_inside_spark_workers(spark):
+    """End-to-end: a mapInPandas kernel that applies the cap must see a
+    1-thread OpenBLAS pool in EVERY worker process — including under
+    PARITY_VANILLA sessions where no executorEnv was configured."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 64, 1, 8)
+
+    def probe(batches):
+        import pandas as pd
+
+        from rdbms_subsetter_spark._blas import (
+            get_openblas_threads,
+            limit_blas_threads,
+        )
+
+        limit_blas_threads()
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"pid": [os.getpid()], "threads": [get_openblas_threads() or -1]}
+            )
+
+    out = (
+        df.mapInPandas(probe, "pid long, threads int")
+        .groupBy("threads")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert [r["threads"] for r in out] == [1], out
