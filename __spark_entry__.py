@@ -70,19 +70,16 @@ def _graded_union() -> set[str]:
 # verdict describes the old semantics, so they must re-grade inside
 # this round's ~50-entry window — right after the never-graded bucket.
 _REGRADE_THIS_ROUND: tuple[str, ...] = (
-    # round 8: embed_quant_recall's audited query set gained a fixed-size
-    # cap (vec_id < 10^6, operator + oracle in lockstep) after the ×64
-    # embeddings rung measured the corpus-fraction sample at 388 s /
-    # 260× (recall is a statistic; the sample must not grow with the
-    # corpus).  The cap is inert at every graded SF (max vec_id 4,999 —
-    # outputs bit-identical), but the oracle text changed, so the entry
-    # re-grades per the round-7 contract.  (The round-8 AllPairs
-    # exact-ceil fix only affects prefix_filter=True, which no graded
-    # entry uses; dedup_ngram_jaccard_uncapped was retired outright,
-    # not re-semantized — see queries_ext16.py.)  Any future semantics
-    # flip MUST list itself here; enforced by the oracle-manifest guard
-    # in tests/test_registration.py.
-    "embed_quant_recall",
+    # round 9: agg_regression's r2 column tightened from 6 to 4
+    # decimals (operator + oracle in lockstep) per ADVICE r08 — the
+    # observed r2 values are near-zero, so a last-digit double-
+    # accumulation difference between Spark and DuckDB could flip the
+    # 6th decimal at some SF; 4 decimals is the agg_stats_moments
+    # family precedent.  Values change (more rounding), so the r08
+    # verdict describes old semantics and the entry re-grades.
+    # Any future semantics flip MUST list itself here; enforced by the
+    # oracle-manifest guard in tests/test_registration.py.
+    "agg_regression",
 )
 
 

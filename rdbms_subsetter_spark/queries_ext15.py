@@ -104,6 +104,14 @@ def _dequantized(emb: DataFrame) -> DataFrame:
     )
 
 
+#: embed_quant_recall's audited-sample id window: one constant,
+#: interpolated into BOTH the operator filter and the DuckDB oracle
+#: (ADVICE r08 — as independent literals, a drift between the two
+#: would pass every graded SF silently, since the cap is inert below
+#: vec_id 10^6, and only diverge at stress scale).
+QUANT_RECALL_ID_CAP = 1_000_000
+
+
 def q_embed_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantization recall audit: does int8 storage actually preserve
     retrieval?  For each query vector the float32 exact cosine top-10
@@ -133,7 +141,7 @@ def q_embed_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     emb = cat["embeddings"]
     dq = _dequantized(emb)
-    sample = (F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 1_000_000)
+    sample = (F.col("vec_id") % 10 == 0) & (F.col("vec_id") < QUANT_RECALL_ID_CAP)
     fq = emb.filter(sample)
     iq = dq.filter(sample)
     fk = similarity.cosine_topk(emb, fq, k=10).select("query_id", "neighbor_id")
@@ -160,7 +168,7 @@ def q_embed_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_QUANT_RECALL = """
+_SQL_QUANT_RECALL = f"""
 WITH m AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
          list_min(CAST(embedding AS DOUBLE[])) AS mn,
@@ -183,7 +191,7 @@ fknn AS (
                                * sqrt(list_dot_product(b.e, b.e))), 6) DESC,
                       b.vec_id) AS rk
     FROM m a JOIN m b ON a.vec_id <> b.vec_id
-    WHERE a.vec_id % 10 = 0 AND a.vec_id < 1000000)
+    WHERE a.vec_id % 10 = 0 AND a.vec_id < {QUANT_RECALL_ID_CAP})
   WHERE rk <= 10),
 iknn AS (
   SELECT qid, nid FROM (
@@ -195,7 +203,7 @@ iknn AS (
                                * sqrt(list_dot_product(b.e, b.e))), 6) DESC,
                       b.vec_id) AS rk
     FROM dq a JOIN dq b ON a.vec_id <> b.vec_id
-    WHERE a.vec_id % 10 = 0 AND a.vec_id < 1000000)
+    WHERE a.vec_id % 10 = 0 AND a.vec_id < {QUANT_RECALL_ID_CAP})
   WHERE rk <= 10)
 SELECT f.qid AS query_id,
        CAST(sum(CASE WHEN i.nid IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS n_overlap,

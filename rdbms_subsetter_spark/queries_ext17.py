@@ -242,9 +242,11 @@ def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``regr_avgy``): one-pass distributed OLS of extended price on
     quantity per return flag — moment sketches (n, Σx, Σy, Σxx, Σxy)
     merge associatively through the shuffle, so the fit costs exactly
-    one map-side-combined aggregation at any scale.  Rounded to 4
-    decimals for cross-engine double parity (the agg_stats_moments
-    precedent)."""
+    one map-side-combined aggregation at any scale.  ALL columns
+    rounded to 4 decimals for cross-engine double parity (the
+    agg_stats_moments precedent; r2 was briefly 6 decimals, tightened
+    per ADVICE r08 — a last-digit double-accumulation difference
+    between engines could flip the 6th decimal at some SF)."""
     cat = Catalog(spark, sf_dir)
     li = cat["lineitem"]
     y, x = F.col("l_extendedprice"), F.col("l_quantity")
@@ -252,7 +254,7 @@ def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regr_count(y, x).alias("n_pts"),
         F.round(F.regr_slope(y, x), 4).alias("slope"),
         F.round(F.regr_intercept(y, x), 4).alias("intercept"),
-        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.regr_r2(y, x), 4).alias("r2"),
         F.round(F.regr_avgx(y, x), 4).alias("avg_qty"),
         F.round(F.regr_avgy(y, x), 4).alias("avg_price"),
     )
@@ -263,7 +265,7 @@ SELECT l_returnflag,
        CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pts,
        round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
        round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
-       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+       round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
        round(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_qty,
        round(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_price
 FROM lineitem

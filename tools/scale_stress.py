@@ -469,11 +469,19 @@ def events_stress(spark, n_copies: int = 64) -> None:
     import subprocess
 
     for name in streaming:
-        r = subprocess.run(
-            [sys.executable, __file__, "--one", name, SRC, out],
-            capture_output=True,
-            text=True,
-        )
+        try:
+            # generous ceiling: a hung streaming query (the exact
+            # failure mode this rung probes) must surface as a row,
+            # not block the whole rung indefinitely (ADVICE r08)
+            r = subprocess.run(
+                [sys.executable, __file__, "--one", name, SRC, out],
+                capture_output=True,
+                text=True,
+                timeout=1800,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"{name:32s} TIMEOUT (>1800s)", flush=True)
+            continue
         lines = [l for l in r.stdout.splitlines() if l.startswith("RESULT ")]
         if lines:
             _, nm, a, b = lines[-1].split()
