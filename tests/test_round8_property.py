@@ -338,7 +338,9 @@ def test_regression_agg_matches_numpy(spark):
         assert g["n_pts"] == len(pts)
         assert abs(g["slope"] - slope) < 5e-4
         assert abs(g["intercept"] - intercept) < 5e-3
-        assert abs(g["r2"] - r2) < 5e-6
+        # r2 is rounded to 4 decimals since round 9 (ADVICE r08), so
+        # the quantization alone contributes up to 5e-5
+        assert abs(g["r2"] - r2) < 6e-5
         assert abs(g["avg_qty"] - x.mean()) < 5e-4
         assert abs(g["avg_price"] - y.mean()) < 5e-3
 

@@ -254,3 +254,67 @@ def test_star_cc_round_budget_on_chain(spark):
     assert len(got) == n
     assert {r["cluster_id"] for r in got} == {0}
     assert all(r["cluster_size"] == n for r in got)
+
+
+def test_substring_candidate_volume_capped_under_boilerplate(spark):
+    """Deterministic tripwire for the substring-dedup candidate stage
+    (VERDICT r08 defect #2): candidate volume is Σ_cls C(doc-df, 2),
+    so a boilerplate-heavy corpus — every doc ending in the same
+    ≥8-token license footer — detonates the footer's run classes into
+    C(n_docs, 2) pairs unless ``max_run_freq`` drops them.  The graded
+    entry pins the cap at 16 (queries_ext17, oracle in lockstep);
+    reverting that pin, or breaking the cap's left_anti application,
+    fails this test immediately instead of surfacing as a ×64
+    wall-clock timeout.
+
+    Corpus: 60 docs with disjoint 24-token bodies + one shared 10-token
+    footer, plus one genuinely duplicated 12-token sentence planted in
+    docs 0 and 1 (recall control: the cap must NOT lose real dups that
+    share any non-boilerplate run)."""
+    from rdbms_subsetter_spark.operators.dedup import (
+        substring_candidates,
+        substring_dedup_pairs,
+    )
+
+    n_docs, body_len = 60, 24
+    footer = " ".join(f"lic{i}" for i in range(10))
+    dup_sentence = " ".join(f"dup{i}" for i in range(12))
+    rows = []
+    for j in range(n_docs):
+        body = " ".join(f"b{j:03d}x{i:02d}" for i in range(body_len))
+        # planted dup leads the doc (NOT adjacent to the footer, which
+        # would legitimately extend the true longest shared run)
+        lead = f"{dup_sentence} " if j in (0, 1) else ""
+        rows.append((j, f"{lead}{body} {footer}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # positive control: the corpus IS adversarial — uncapped candidates
+    # include every doc pair via the footer classes (≥ C(60,2) = 1770)
+    uncapped = substring_candidates(docs, min_len=8, max_run_freq=None).count()
+    assert uncapped >= n_docs * (n_docs - 1) // 2, f"corpus not adversarial: {uncapped}"
+
+    # the guard: with the graded cap the footer classes (df=60 > 16)
+    # are dropped and only the planted real dup survives as a candidate
+    capped = substring_candidates(docs, min_len=8, max_run_freq=16).count()
+    assert capped <= 4, f"cap not applied — candidate volume {capped}"
+
+    # recall control: the planted 12-token duplicate still comes out of
+    # the full capped operator with its exact run length
+    pairs = substring_dedup_pairs(docs, min_len=8, max_run_freq=16).collect()
+    assert [(r["doc_id_1"], r["doc_id_2"], r["lcs_len"]) for r in pairs] == [(0, 1, 12)]
+
+
+def test_graded_substring_entry_pins_the_cap(spark):
+    """The graded dedup_substring_exact entry must keep max_run_freq
+    pinned (an accidental revert to None re-opens the quadratic path
+    while every graded SF stays green, since the cap is inert there).
+    Asserted on the same boilerplate corpus by calling the graded
+    wiring's constants directly."""
+    from rdbms_subsetter_spark.queries_ext17 import (
+        _SUBSTR_MAX_RUN_FREQ,
+        _SQL_SUBSTRING_EXACT,
+    )
+
+    assert _SUBSTR_MAX_RUN_FREQ is not None and 1 <= _SUBSTR_MAX_RUN_FREQ <= 64
+    # the oracle must carry the SAME cap (lockstep contract)
+    assert f"df <= {_SUBSTR_MAX_RUN_FREQ}" in _SQL_SUBSTRING_EXACT
