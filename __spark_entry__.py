@@ -38,6 +38,7 @@ from rdbms_subsetter_spark.queries_ext14 import ext14_oracles, ext14_queries  # 
 from rdbms_subsetter_spark.queries_ext15 import ext15_oracles, ext15_queries  # noqa: E402
 from rdbms_subsetter_spark.queries_ext16 import ext16_oracles, ext16_queries  # noqa: E402
 from rdbms_subsetter_spark.queries_ext17 import ext17_oracles, ext17_queries  # noqa: E402
+from rdbms_subsetter_spark.queries_ext18 import ext18_oracles, ext18_queries  # noqa: E402
 from rdbms_subsetter_spark.queries_tpch import tpch_oracles, tpch_queries  # noqa: E402
 
 
@@ -127,6 +128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(ext15_queries())
     out.update(ext16_queries())
     out.update(ext17_queries())
+    out.update(ext18_queries())
     ordered = _grading_order(list(out))
     return {n: out[n] for n in ordered}
 
@@ -153,6 +155,7 @@ def oracle_sql() -> dict[str, str]:
         **ext15_oracles(),
         **ext16_oracles(),
         **ext17_oracles(),
+        **ext18_oracles(),
     }.items():
         if sql is not None:
             out[name] = sql

@@ -171,6 +171,9 @@ HEADLINE = [
     "agg_hll_rollup",
     "agg_regression",
     "closure_bucketed_semi",
+    # round 9
+    "ann_srp_recall",
+    "ann_ivf_recall",
 ]
 
 

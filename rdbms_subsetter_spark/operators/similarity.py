@@ -574,36 +574,64 @@ def srp_topk(
     k: int = 5,
     n_planes: int = 6,
     seed: int = 42,
+    n_bands: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: score only pairs that share the SRP bucket.
+    """Approximate top-k: score only pairs that share an SRP bucket.
 
-    One equi-join on the bucket id (single shuffle of signatures, not
-    vectors × vectors).  Returns the same schema as ``cosine_topk``;
-    recall depends on n_planes (fewer planes → bigger buckets → higher
-    recall, more compute).
+    One equi-join on (band, bucket id) — a single shuffle of
+    signatures, not vectors × vectors.  Returns the same schema as
+    ``cosine_topk``; recall depends on ``n_planes`` (fewer planes →
+    bigger buckets → higher recall, more compute per band) and
+    ``n_bands`` (independent signatures from disjoint plane runs; a
+    pair is a candidate if ANY band agrees, so recall compounds as
+    1-(1-r₁)ⁿ while candidate volume grows only linearly in bands —
+    the standard LSH recall lever, same banding as the minhash
+    family).  ``n_bands=1`` is the original single-signature form.
+    A candidate pair agreeing in several bands is scored once: the
+    (band, bucket) join emits it per band, and the per-query dense
+    rank below is over DISTINCT neighbors.
     """
+    bands = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    srp_signature(
+                        F.col("embedding"), dim, n_planes, seed, plane_offset=b * n_planes
+                    ).alias("bucket"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+    ).alias("bb")
     c = with_norm(corpus).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
         F.col("__norm").alias("c_norm"),
-        srp_signature(F.col("embedding"), dim, n_planes, seed).alias("bucket"),
+        bands,
     )
     q = with_norm(queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("__norm").alias("q_norm"),
-        srp_signature(F.col("embedding"), dim, n_planes, seed).alias("bucket"),
+        bands,
     )
-    scored = (
-        c.join(F.broadcast(q), on="bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cosine",
-            F.round(
-                dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")),
-                6,
-            ),
+    pairs = (
+        c.join(
+            F.broadcast(q),
+            (c["bb.band"] == q["bb.band"]) & (c["bb.bucket"] == q["bb.bucket"]),
         )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "q_emb", "c_emb", "q_norm", "c_norm")
+    )
+    if n_bands > 1:  # single band cannot emit a pair twice
+        pairs = pairs.dropDuplicates(["query_id", "neighbor_id"])
+    scored = pairs.withColumn(
+        "cosine",
+        F.round(
+            dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")),
+            6,
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -13,7 +13,8 @@ def _module_dicts():
         queries_core, queries_ext, queries_ext2, queries_ext3, queries_ext4,
         queries_ext5, queries_ext6, queries_ext7, queries_ext8, queries_ext9,
         queries_ext10, queries_ext11, queries_ext12, queries_ext13, queries_ext14,
-        queries_ext15, queries_ext16, queries_ext17, queries_tpch,
+        queries_ext15, queries_ext16, queries_ext17, queries_ext18,
+        queries_tpch,
     )
 
     return {
@@ -35,6 +36,7 @@ def _module_dicts():
         "ext15": queries_ext15.ext15_queries(),
         "ext16": queries_ext16.ext16_queries(),
         "ext17": queries_ext17.ext17_queries(),
+        "ext18": queries_ext18.ext18_queries(),
         "tpch": queries_tpch.tpch_queries(),
     }
 

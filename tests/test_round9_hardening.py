@@ -84,3 +84,38 @@ def test_blas_capped_inside_spark_workers(spark):
         .collect()
     )
     assert [r["threads"] for r in out] == [1], out
+
+
+def test_srp_banding_improves_recall_and_dedups_pairs(spark):
+    """Round-9 banded SRP (srp_topk n_bands>1): recall against the
+    exact cosine top-5 must strictly improve over the single-signature
+    form (the whole point of banding), and a pair agreeing in several
+    bands must be scored/ranked once (no duplicate (query, neighbor)
+    rows, ranks contiguous 1..k)."""
+    from pyspark.sql import functions as F
+
+    from rdbms_subsetter_spark.catalog import Catalog
+    from rdbms_subsetter_spark.operators import similarity
+    from tests.conftest import SF_SMALL
+
+    emb = Catalog(spark, SF_SMALL)["embeddings"]
+    q = emb.filter(F.col("vec_id") % 10 == 0)
+    exact = similarity.cosine_topk(emb, q, k=5).select("query_id", "neighbor_id")
+
+    def overlap(ann):
+        a = ann.select(F.col("query_id").alias("__q"), F.col("neighbor_id").alias("__n"))
+        return exact.join(
+            a, (exact["query_id"] == a["__q"]) & (exact["neighbor_id"] == a["__n"])
+        ).count()
+
+    one = similarity.srp_topk(emb, q, dim=64, k=5, n_planes=5, n_bands=1)
+    four = similarity.srp_topk(emb, q, dim=64, k=5, n_planes=5, n_bands=4)
+    assert overlap(four) > overlap(one)
+
+    rows = four.collect()
+    pairs = [(r["query_id"], r["neighbor_id"]) for r in rows]
+    assert len(pairs) == len(set(pairs)), "band-duplicated pair survived"
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
