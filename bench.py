@@ -174,6 +174,7 @@ HEADLINE = [
     # round 9
     "ann_srp_recall",
     "ann_ivf_recall",
+    "streaming_asof_enrich",
 ]
 
 

@@ -156,10 +156,41 @@ FROM knn
 """
 
 
+def q_streaming_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See streaming.events.streaming_asof_enrich: stateless stream-
+    static temporal enrichment (broadcast sorted order-history arrays +
+    codegen as-of extraction), the streaming twin of
+    ``asof_join_latest_order``."""
+    from rdbms_subsetter_spark.streaming import events as streaming_events
+
+    return streaming_events.streaming_asof_enrich(spark, sf_dir)
+
+
+_SQL_STREAMING_ASOF = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+o AS (
+  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_ts,
+         CAST(round(100 * o_totalprice) AS BIGINT) AS o_cents
+  FROM orders),
+best AS (
+  SELECT event_id, o_orderkey, o_cents FROM (
+    SELECT p.event_id, o.o_orderkey, o.o_cents,
+           row_number() OVER (PARTITION BY p.event_id
+                              ORDER BY o.o_ts DESC, o.o_orderkey DESC) AS rk
+    FROM p JOIN o ON o.o_custkey = p.user_id AND o.o_ts <= p.ts)
+  WHERE rk = 1)
+SELECT p.event_id, p.user_id,
+       b.o_orderkey AS asof_orderkey, b.o_cents AS asof_cents
+FROM p LEFT JOIN best b ON b.event_id = p.event_id
+"""
+
+
 def ext18_queries() -> dict:
     return {
         "ann_srp_recall": q_ann_srp_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
+        "streaming_asof_enrich": q_streaming_asof_enrich,
     }
 
 
@@ -167,4 +198,5 @@ def ext18_oracles() -> dict:
     return {
         "ann_srp_recall": _SQL_ANN_RECALL,
         "ann_ivf_recall": _SQL_ANN_RECALL,
+        "streaming_asof_enrich": _SQL_STREAMING_ASOF,
     }

@@ -757,6 +757,66 @@ def streaming_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("click_id", "purchase_id")
 
 
+def streaming_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static AS-OF enrichment: every purchase event picks up the
+    user's most recent order at-or-before the event time (inclusive
+    backward as-of, ties broken by highest o_orderkey) — the streaming
+    twin of the batch ``asof_join_latest_order`` entry, via a different
+    physical strategy that needs NO stream state at all.
+
+    The batch as-of uses a union+window sort; a window over a stream
+    would be a stateful operator with per-key ordering state.  Instead
+    the STATIC side is pre-shaped per micro-batch into one row per user
+    holding the sorted order history as an array of structs, the
+    stream-static join is a plain stateless 1:1 equi-join (AQE
+    broadcasts the dimension), and the as-of extraction is pure codegen
+    array algebra: ``array_max(filter(hist, h -> h.o_ts <= ts))`` —
+    struct comparison is lexicographic, so (o_ts, o_orderkey) ordering
+    gives exactly the inclusive-backward pick with the orderkey
+    tiebreak.  No watermark, no state store, append mode: a bounded
+    replay emits exactly the batch join, which is what the oracle
+    checks.
+
+    100 TB shape: the dimension array is bounded by per-user order
+    count (TPC-H ~10; any bounded-history dimension qualifies), the
+    stream side never shuffles (broadcast join), and slowly-changing
+    history is picked up per micro-batch without restarts — the same
+    property streaming_static_join documents, extended to temporal
+    lookup.  For unbounded histories the array would be bucketed by
+    time range first; that variant needs the same join + one more
+    filter, not a different operator."""
+    from rdbms_subsetter_spark.catalog import Catalog
+
+    ev = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+    )
+    orders = Catalog(spark, sf_dir)["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_timestamp("o_orderdate").alias("o_ts"),
+        # money as exact cents — the established ULP-proof oracle form
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("o_cents"),
+    )
+    hist = orders.groupBy("o_custkey").agg(
+        F.sort_array(
+            F.collect_list(F.struct("o_ts", "o_orderkey", "o_cents"))
+        ).alias("__hist")
+    )
+    j = ev.join(hist, ev["user_id"] == hist["o_custkey"], "left")
+    best = F.array_max(F.filter(F.col("__hist"), lambda h: h["o_ts"] <= F.col("ts")))
+    out = j.select(
+        "event_id",
+        "user_id",
+        best["o_orderkey"].alias("asof_orderkey"),
+        best["o_cents"].alias("asof_cents"),
+    )
+    return run_stream_to_memory(
+        spark, out, name="stream_asof_enrich", output_mode="append"
+    )
+
+
 def streaming_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHAINED stateful aggregations in one streaming query (Spark 4:
     multiple stateful operators per query): watermarked hourly tumbling

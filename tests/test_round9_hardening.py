@@ -119,3 +119,44 @@ def test_srp_banding_improves_recall_and_dedups_pairs(spark):
     for r in rows:
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+
+
+def test_streaming_asof_enrich_equals_batch_asof(spark):
+    """The stateless stream-static as-of enrichment must emit exactly
+    the batch as-of join on the same (purchase-events x orders) input —
+    the bounded-replay ≡ batch contract every streaming entry rests on,
+    asserted here against the INDEPENDENT batch strategy
+    (joins.asof_join's union+window) rather than the oracle."""
+    from pyspark.sql import functions as F
+
+    from rdbms_subsetter_spark.catalog import Catalog
+    from rdbms_subsetter_spark.operators import joins
+    from rdbms_subsetter_spark.streaming import events as se
+    from tests.conftest import SF_SMALL
+
+    got = {
+        r["event_id"]: (r["asof_orderkey"], r["asof_cents"])
+        for r in se.streaming_asof_enrich(spark, SF_SMALL).collect()
+    }
+
+    cat = Catalog(spark, SF_SMALL)
+    ev = cat["events"].filter(F.col("event_type") == "purchase")
+    orders = cat["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_timestamp("o_orderdate").alias("o_ts"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("o_cents"),
+    )
+    want_df = joins.asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        orders,
+        on=[("user_id", "o_custkey")],
+        left_ts="ts",
+        right_ts="o_ts",
+        payload=["o_orderkey", "o_cents"],
+        tiebreak="o_orderkey",
+    )
+    want = {
+        r["event_id"]: (r["o_orderkey"], r["o_cents"]) for r in want_df.collect()
+    }
+    assert got == want and len(got) > 0

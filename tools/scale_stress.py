@@ -528,6 +528,11 @@ EMB_QUERIES = [
     "ann_ivf_topk",
     "knn_graph_degree",
     "embed_pca_project",
+    # round 9: recall contracts — each runs the ANN path AND the exact
+    # top-k over the FIXED audit sample, so the rung proves the audit
+    # itself stays ~linear (the embed_quant_recall lesson)
+    "ann_srp_recall",
+    "ann_ivf_recall",
 ]
 
 
