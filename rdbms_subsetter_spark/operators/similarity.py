@@ -111,6 +111,16 @@ def cosine_topk(
         ]
     )
 
+    # Query-axis chunk: bounds the kernel's live temporaries to
+    # O(batch × Q_CHUNK) doubles regardless of |queries|.  Without it
+    # the b × q score matrix (plus its argsort copies) is ~4 GB PER
+    # TASK at 128k corpus-as-queries (the ×64 knn_graph rung) — 32
+    # concurrent tasks turn into a page-fault storm (measured: 99% sys
+    # CPU, >10 min per run).  Queries are independent, so chunking
+    # changes nothing semantically; 2048 keeps each temp ≲ 160 MB at
+    # Arrow's default 10k-row batches while staying BLAS-friendly.
+    Q_CHUNK = 2048
+
     def scan(batches):
         limit_blas_threads()
         ids, mat, nrm = bc.value
@@ -122,31 +132,35 @@ def cosine_topk(
             # pre-sort the batch by neighbor id so a STABLE score sort
             # below breaks score ties by ascending id — exactly the
             # per-query lexsort((c_ids, -col)) order, but computed for
-            # ALL queries in one C call instead of a Python loop per
-            # query (the loop built q tiny DataFrames per batch and was
-            # the CPU hotspot this kernel's drift traced to)
+            # a whole query chunk in one C call instead of a Python
+            # loop per query (the loop built q tiny DataFrames per
+            # batch and was the CPU hotspot this kernel's drift traced
+            # to)
             order0 = np.argsort(c_ids, kind="stable")
             c_ids = c_ids[order0]
             c_mat = np.array(list(pdf["embedding"]), dtype=np.float64)[order0]
             c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
-            scores = (c_mat @ mat.T) / np.outer(c_norm, nrm)  # b × q
             take = min(slack, len(c_ids))
-            # top-take rows per query by (score desc, id asc): stable
-            # argsort of -scores down each column, id order preserved
-            top = np.argsort(-scores, axis=0, kind="stable")[:take]  # take × q
-            q_idx = np.broadcast_to(np.arange(n_q), top.shape)
-            nb = c_ids[top]
-            mask = (nb != ids[q_idx]).ravel()
-            flat_q, flat_nb = q_idx.ravel()[mask], nb.ravel()[mask]
-            yield pd.DataFrame(
-                {
-                    "query_id": ids[flat_q],
-                    "neighbor_id": flat_nb,
-                    "cosine_raw": np.take_along_axis(scores, top, axis=0).ravel()[
-                        mask
-                    ],
-                }
-            )
+            for q0 in range(0, n_q, Q_CHUNK):
+                q1 = min(q0 + Q_CHUNK, n_q)
+                scores = (c_mat @ mat[q0:q1].T) / np.outer(c_norm, nrm[q0:q1])
+                # top-take rows per query by (score desc, id asc):
+                # stable argsort of -scores down each column, id order
+                # preserved
+                top = np.argsort(-scores, axis=0, kind="stable")[:take]
+                q_idx = np.broadcast_to(np.arange(q0, q1), top.shape)
+                nb = c_ids[top]
+                mask = (nb != ids[q_idx]).ravel()
+                flat_q, flat_nb = q_idx.ravel()[mask], nb.ravel()[mask]
+                yield pd.DataFrame(
+                    {
+                        "query_id": ids[flat_q],
+                        "neighbor_id": flat_nb,
+                        "cosine_raw": np.take_along_axis(scores, top, axis=0).ravel()[
+                            mask
+                        ],
+                    }
+                )
 
     local = corpus.select("vec_id", "embedding").mapInPandas(scan, out_schema)
     scored = local.withColumn("cosine", F.round(F.col("cosine_raw"), round_to))
