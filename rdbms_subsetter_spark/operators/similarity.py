@@ -49,8 +49,12 @@ def with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
 #: to the driver and broadcast, so it must be BOUNDED.  Guarded with an
 #: explicit raise instead of letting an unbounded query set OOM the
 #: driver mid-collect; for corpus-sized "query" sides use the symmetric
-#: operators (srp/banded near-dup) instead.
-MAX_QUERY_VECTORS = 100_000
+#: operators (srp/banded near-dup) instead.  Budget math for the cap:
+#: 200k × 64-dim float64 ≈ 100 MB of broadcast — the practical ceiling
+#: for a value every executor holds resident; it admits the ×64 rung's
+#: 128k self-kNN quadratic-floor measurement (SCALE.md) while still
+#: refusing genuinely unbounded query sides.
+MAX_QUERY_VECTORS = 200_000
 
 
 def _bounded_query_rows(queries: DataFrame, op: str) -> list:

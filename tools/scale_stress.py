@@ -236,13 +236,13 @@ def main() -> None:
     if "--events" in sys.argv:
         events_stress(spark, n_copies)
         return
-    if "--emb" in sys.argv:
-        emb_stress(spark, n_copies)
-        return
     only = None
     for a in sys.argv[1:]:
         if a.startswith("--only="):
             only = a.split("=", 1)[1].split(",")
+    if "--emb" in sys.argv:
+        emb_stress(spark, n_copies, only)
+        return
     if "--rebuild" in sys.argv or not os.path.exists(
         os.path.join(out, "lineitem.parquet")
     ):
@@ -536,7 +536,7 @@ EMB_QUERIES = [
 ]
 
 
-def emb_stress(spark, n_copies: int = 64) -> None:
+def emb_stress(spark, n_copies: int = 64, only: "list[str] | None" = None) -> None:
     """×N stress for the similarity family: embeddings regenerated per
     copy from the hash formula (constant ANN pair density — duplicated
     vectors would make every copy an exact neighbor), so ×64 = 128k
@@ -570,7 +570,7 @@ def emb_stress(spark, n_copies: int = 64) -> None:
     run("embed_norm_stats", SRC)
     run("embed_norm_stats", out)
     print(f"{'query':26s} {'sf0.1':>8s} {'x' + str(n_copies):>8s}  ratio")
-    for name in EMB_QUERIES:
+    for name in only if only else EMB_QUERIES:
         a = min(run(name, SRC), run(name, SRC))
         b = min(run(name, out), run(name, out))
         print(f"{name:26s} {a:8.2f} {b:8.2f}  {b / max(a, 1e-3):5.1f}x", flush=True)
