@@ -129,6 +129,9 @@ def run_stream_to_memory(
             q.processAllAvailable()
             if progress_out is not None:
                 progress_out["watermark"] = _final_watermark(q)
+                progress_out["n_state_operators"] = len(
+                    (q.lastProgress or {}).get("stateOperators") or []
+                )
         finally:
             q.stop()
     finally:
@@ -757,7 +760,9 @@ def streaming_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("click_id", "purchase_id")
 
 
-def streaming_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_asof_enrich(
+    spark: SparkSession, sf_dir: str, progress_out: dict | None = None
+) -> DataFrame:
     """Stream-static AS-OF enrichment: every purchase event picks up the
     user's most recent order at-or-before the event time (inclusive
     backward as-of, ties broken by highest o_orderkey) — the streaming
@@ -813,7 +818,11 @@ def streaming_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         best["o_cents"].alias("asof_cents"),
     )
     return run_stream_to_memory(
-        spark, out, name="stream_asof_enrich", output_mode="append"
+        spark,
+        out,
+        name="stream_asof_enrich",
+        output_mode="append",
+        progress_out=progress_out,
     )
 
 

@@ -160,3 +160,18 @@ def test_streaming_asof_enrich_equals_batch_asof(spark):
         r["event_id"]: (r["o_orderkey"], r["o_cents"]) for r in want_df.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_asof_enrich_is_stateless(spark):
+    """The operator's headline scale property: ZERO stateful operators
+    in the streaming query (the as-of pick is static-side shaping +
+    codegen array algebra, not stream state).  Asserted from the
+    finished query's own progress report — a stateful regression (e.g.
+    someone 'fixing' it with a stream-side window) flips the count."""
+    from rdbms_subsetter_spark.streaming import events as se
+    from tests.conftest import SF_SMALL
+
+    progress: dict = {}
+    out = se.streaming_asof_enrich(spark, SF_SMALL, progress_out=progress)
+    assert out.count() > 0
+    assert progress.get("n_state_operators") == 0, progress

@@ -192,6 +192,21 @@ COMMENTARY = {
 }
 
 
+COMMENTARY["ann_srp_recall"] = (
+    "Recall audit (round 9). Wanted: ONE corpus scan feeding both the "
+    "banded SRP signature join (query side broadcast) and the exact "
+    "cosine kernel; the band join an equi-join on (band, bucket) — "
+    "never a cartesian; final combine a single aggregate (no BNLJ "
+    "one-row join)."
+)
+# streaming entries are deliberately absent: their queries() callables
+# DRIVE the stream and return the materialized sink table, so a plan
+# captured here would be the memory scan, not the streaming query.
+# streaming_asof_enrich's headline plan property (ZERO stateful
+# operators) is asserted from the query's own progress report in
+# tests/test_round9_hardening.py instead.
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     import __spark_entry__ as entry_mod
