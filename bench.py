@@ -205,6 +205,11 @@ ISOLATE_DEFAULT = [
     "range_join_price_bands",
     "streaming_curation_funnel",
     "dedup_cc_clusters",
+    # round 9: the recall audits run two kernel jobs (ANN + exact) per
+    # entry and showed the same aging fingerprint (in-session 2.44x of
+    # a same-day first; fresh-process 1.4x/0.9x)
+    "ann_srp_recall",
+    "ann_ivf_recall",
 ]
 
 
