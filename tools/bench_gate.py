@@ -42,6 +42,31 @@ def _git(*args: str) -> str:
     ).stdout
 
 
+def _protocol_at(sha: str) -> str:
+    """Measurement discipline in force when a pin was recorded, read
+    from THAT commit's bench.py (VERDICT r09 task 7: `first` values
+    span three disciplines; future drift adjudication should not have
+    to re-litigate which protocol a pin was taken under).
+
+    * ``in-session``      — pre-r8: every entry timed inside one aging
+                            JVM session, no BLAS thread cap.
+    * ``isolated-v1``     — r8/r9: BLAS env+ctypes caps in force,
+                            min(in-session, fresh-process) for the
+                            BLAS/recall/streaming isolation list.
+    * ``isolated-v2``     — r10+: isolation list extended to the
+                            shingle/doc-dedup family.
+    """
+    try:
+        bench = _git("show", f"{sha}:bench.py")
+    except subprocess.CalledProcessError:
+        return "in-session"
+    if "ISOLATE_DEFAULT" not in bench:
+        return "in-session"
+    if "dedup_minhash_lsh" in bench.split("ISOLATE_DEFAULT", 1)[1][:2000]:
+        return "isolated-v2"
+    return "isolated-v1"
+
+
 def rebuild(sf: float = 0.1) -> None:
     """Only commits benched at the gate's scale factor count — dev-loop
     runs at sf0.01 would otherwise poison the first-recorded values."""
@@ -49,6 +74,7 @@ def rebuild(sf: float = 0.1) -> None:
         "log", "--reverse", "--format=%H %ct", "--", "BENCH_DETAIL.json"
     ).splitlines()
     hist: dict[str, dict] = {}
+    protocols: dict[str, str] = {}
     for line in commits:
         sha, ct = line.split()
         try:
@@ -58,12 +84,19 @@ def rebuild(sf: float = 0.1) -> None:
             continue
         if detail.get("sf") != sf:
             continue
+        if sha not in protocols:
+            protocols[sha] = _protocol_at(sha)
         for name, sec in detail.get("queries", {}).items():
             if not isinstance(sec, (int, float)):
                 continue
             h = hist.setdefault(
                 name,
-                {"first": sec, "first_commit": sha[:10], "min": sec},
+                {
+                    "first": sec,
+                    "first_commit": sha[:10],
+                    "min": sec,
+                    "protocol": protocols[sha],
+                },
             )
             h["min"] = min(h["min"], sec)
     with open(HISTORY, "w") as fh:
