@@ -29,6 +29,17 @@ environment, so we do it two ways:
 
 Env vars are ``setdefault`` only — an operator who deliberately set a
 higher cap keeps it.
+
+Import-time scope (ADVICE r09): the env defaults run when this package
+is imported, which mutates process-global state for any HOST
+application that embeds the library — setdefault-only, but it could
+silently single-thread unrelated numpy/OpenMP work in that host.  The
+engine's own entrypoints (CLI, bench, the driver contract) all want
+the cap, so the default stays; an embedding application that does not
+can either pre-set any of the env vars (setdefault then never fires)
+or set ``SPARK_GRAFT_NO_BLAS_ENV=1`` before import to skip the
+defaults entirely (the per-kernel ctypes cap inside Arrow tasks is
+unaffected — it only ever runs in Spark worker processes).
 """
 
 from __future__ import annotations
@@ -52,7 +63,11 @@ def set_blas_env_defaults(n: int = 1) -> None:
 
     Only effective if the pool has not initialised yet in this
     process; see :func:`limit_blas_threads` for the post-load path.
+    No-op when ``SPARK_GRAFT_NO_BLAS_ENV=1`` (embedding-application
+    escape hatch — see the module docstring).
     """
+    if os.environ.get("SPARK_GRAFT_NO_BLAS_ENV") == "1":
+        return
     for var in BLAS_ENV_VARS:
         os.environ.setdefault(var, str(n))
 

@@ -463,31 +463,33 @@ def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
     return sig
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 64) -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 64,
+    max_bucket_freq: int | None = None,
+) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
     Candidate generation blocks on 16-bit chunks (pigeonhole: any pair
     within Hamming ≤ 3 agrees on at least one of 4 chunks), so the
     join is an equi-join on (chunk_id, chunk_value) — no cross product.
-    """
+
+    ``max_bucket_freq`` is the skew valve (VERDICT r09 "What's wrong"
+    #2): buckets ``(chunk, chunk_value)`` holding more than that many
+    docs are dropped BEFORE the self-join — the ``max_doc_freq`` /
+    ``max_run_freq`` pattern from the jaccard and substring families.
+    Without it a degenerate corpus (millions of near-identical or
+    near-empty docs whose signatures share a chunk value) makes one
+    bucket quadratic: candidates = Σ_bucket C(df, 2).  The cap trades
+    exactness on exactly those pairs whose ONLY agreeing chunks are
+    hot (a near-dup cluster bigger than the cap is usually the
+    boilerplate one wants handled by exact dedup upstream anyway);
+    with ``None`` (the default) the pigeonhole blocking is exact —
+    see tests/test_round5_property.py."""
     sums_bits = simhash_bits(docs, bits)
-    chunks = 4
-    width = bits // chunks
-    rows = None
-    for c in range(chunks):
-        chunk_val = sum(
-            F.when(F.col(f"bit{c * width + j}") == 1, F.lit(2**j)).otherwise(F.lit(0))
-            for j in range(width)
-        )
-        one = sums_bits.select("doc_id", F.lit(c).alias("chunk"), chunk_val.alias("cv"))
-        rows = one if rows is None else rows.unionByName(one)
-    a = rows.select(F.col("doc_id").alias("doc_id_1"), "chunk", "cv")
-    b = rows.select(F.col("doc_id").alias("doc_id_2"), "chunk", "cv")
-    cand = (
-        a.join(b, on=["chunk", "cv"])
-        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
-        .select("doc_id_1", "doc_id_2")
-        .distinct()
+    cand = simhash_candidates(
+        docs, bits=bits, max_bucket_freq=max_bucket_freq, _bits_df=sums_bits
     )
     b1 = sums_bits.select(
         F.col("doc_id").alias("doc_id_1"), *[F.col(f"bit{i}").alias(f"p{i}") for i in range(bits)]
@@ -504,6 +506,48 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 64) -> Data
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_id_1", "doc_id_2", "hamming")
+    )
+
+
+def simhash_candidates(
+    docs: DataFrame,
+    bits: int = 64,
+    max_bucket_freq: int | None = None,
+    _bits_df: DataFrame | None = None,
+) -> DataFrame:
+    """Candidate stage of :func:`simhash_pairs`, exposed so the CI
+    volume tripwire (tests/test_scale_ratios.py) asserts the exact
+    quantity the operator shuffles: distinct cross-doc pairs sharing a
+    16-bit signature chunk, volume Σ_{(chunk, value)} C(df, 2).
+
+    ``_bits_df`` lets :func:`simhash_pairs` reuse its already-built
+    bit table instead of re-aggregating the token stream."""
+    sums_bits = _bits_df if _bits_df is not None else simhash_bits(docs, bits)
+    chunks = 4
+    width = bits // chunks
+    rows = None
+    for c in range(chunks):
+        chunk_val = sum(
+            F.when(F.col(f"bit{c * width + j}") == 1, F.lit(2**j)).otherwise(F.lit(0))
+            for j in range(width)
+        )
+        one = sums_bits.select("doc_id", F.lit(c).alias("chunk"), chunk_val.alias("cv"))
+        rows = one if rows is None else rows.unionByName(one)
+    if max_bucket_freq is not None:
+        hot = (
+            rows.groupBy("chunk", "cv")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_bucket_freq)
+            .select("chunk", "cv")
+        )
+        rows = rows.join(F.broadcast(hot), on=["chunk", "cv"], how="left_anti")
+    a = rows.select(F.col("doc_id").alias("doc_id_1"), "chunk", "cv")
+    b = rows.select(F.col("doc_id").alias("doc_id_2"), "chunk", "cv")
+    return (
+        a.join(b, on=["chunk", "cv"])
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .select("doc_id_1", "doc_id_2")
+        .distinct()
     )
 
 
@@ -852,7 +896,11 @@ def suffix_run_classes(docs: DataFrame, width: int) -> DataFrame:
     of a 64-bit collision probability (≈ n²/2⁶⁵) that downstream
     consumers erase by verifying candidates exactly (a collision can
     only ADD a candidate, never hide a true one: equal runs always
-    hash equal).
+    hash equal).  One footnote to that one-sidedness (ADVICE r09):
+    under a ``max_run_freq`` cap, a collision that merges a cold run
+    class into a hot one can inflate the hot class past the cap and
+    drop a true pair the per-gram oracle keeps — bounded by the same
+    ≈ n²/2⁶⁵, i.e. purely theoretical at any feasible corpus size.
 
     Rows shrink monotonically with the level (a position must have
     ``width`` tokens left to host a run), so total work over all

@@ -91,7 +91,14 @@ def _recall_audit(emb: DataFrame, ann: DataFrame, queries: DataFrame, floor: flo
         .select(
             F.col("__nq").cast("long").alias("n_queries"),
             F.col("__pairs").cast("long").alias("n_exact_pairs"),
-            (F.col("__hits") / F.col("__pairs") >= F.lit(floor)).alias("recall_ok"),
+            # coalesce: a degenerate corpus (no audit queries, or <2
+            # vectors) makes __pairs = 0 and the ratio NULL; a NULL
+            # here would mismatch the oracle's literal TRUE with an
+            # opaque hash diff instead of a deterministic FALSE
+            # (ADVICE r09)
+            F.coalesce(
+                F.col("__hits") / F.col("__pairs") >= F.lit(floor), F.lit(False)
+            ).alias("recall_ok"),
         )
     )
 

@@ -318,3 +318,80 @@ def test_graded_substring_entry_pins_the_cap(spark):
     assert _SUBSTR_MAX_RUN_FREQ is not None and 1 <= _SUBSTR_MAX_RUN_FREQ <= 64
     # the oracle must carry the SAME cap (lockstep contract)
     assert f"df <= {_SUBSTR_MAX_RUN_FREQ}" in _SQL_SUBSTRING_EXACT
+
+
+def test_simhash_candidate_volume_capped_under_near_identical_corpus(spark):
+    """Deterministic tripwire for the simhash candidate stage (VERDICT
+    r09 defect #2): candidates equi-join on (chunk, 16-bit chunk-value)
+    with volume Σ_bucket C(df, 2), so a corpus of near-identical docs —
+    all four signature chunks equal — detonates one bucket into
+    C(n_docs, 2) pairs unless ``max_bucket_freq`` drops it.  Same valve
+    pattern as the jaccard family's ``max_doc_freq`` and the substring
+    family's ``max_run_freq``.
+
+    Corpus: 60 docs with IDENTICAL boilerplate text (ids 100..159,
+    identical signatures → 4 hot buckets of df=60) plus one genuine
+    near-dup pair (ids 0 and 1, identical to each other but disjoint
+    vocabulary from the boilerplate → their buckets hold df=2 and must
+    SURVIVE the cap)."""
+    from rdbms_subsetter_spark.operators.dedup import (
+        simhash_candidates,
+        simhash_pairs,
+    )
+
+    boiler = " ".join(f"boiler{i:02d}" for i in range(40))
+    pair_text = " ".join(f"pairtok{i:02d}" for i in range(40))
+    rows = [(0, pair_text), (1, pair_text)]
+    rows += [(100 + j, boiler) for j in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # positive control: the corpus IS adversarial — uncapped candidates
+    # include every boilerplate pair (≥ C(60,2) = 1770)
+    uncapped = simhash_candidates(docs, max_bucket_freq=None).count()
+    assert uncapped >= 60 * 59 // 2, f"corpus not adversarial: {uncapped}"
+
+    # the guard: with the cap the df=60 buckets are dropped and only
+    # the df=2 near-dup pair survives as a candidate
+    capped = simhash_candidates(docs, max_bucket_freq=16).count()
+    assert capped == 1, f"cap not applied — candidate volume {capped}"
+
+    # recall control: the surviving pair verifies at hamming 0 through
+    # the full capped operator
+    got = simhash_pairs(docs, max_hamming=3, max_bucket_freq=16).collect()
+    assert [(r["doc_id_1"], r["doc_id_2"], r["hamming"]) for r in got] == [(0, 1, 0)]
+
+
+def test_simhash_pairs_uncapped_default_stays_exact(spark):
+    """max_bucket_freq defaults to None so the pigeonhole-exactness
+    property (test_round5_property.py) keeps holding for the default
+    form; the capped form must be a subset of the uncapped one."""
+    from rdbms_subsetter_spark.operators.dedup import simhash_pairs
+
+    rows = [
+        (i, " ".join(f"w{i}x{j}" for j in range(12)) + " common common2 common3")
+        for i in range(8)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {(r[0], r[1]) for r in simhash_pairs(docs, max_hamming=10).collect()}
+    capped = {
+        (r[0], r[1])
+        for r in simhash_pairs(docs, max_hamming=10, max_bucket_freq=3).collect()
+    }
+    assert capped <= full
+
+
+def test_recall_audit_degenerate_corpus_is_false_not_null(spark):
+    """ADVICE r09: with an empty audit-query set the exact side has 0
+    pairs and __hits/__pairs is NULL — the audit must emit a
+    deterministic FALSE (clear signal) instead of a NULL that would
+    surface as an opaque hash mismatch against the oracle's TRUE."""
+    from rdbms_subsetter_spark.queries_ext18 import _recall_audit
+
+    emb = spark.createDataFrame(
+        [(1, [1.0] * 4), (2, [0.5] * 4)], "vec_id long, embedding array<float>"
+    )
+    queries = emb.filter(F.col("vec_id") < 0)  # empty
+    ann = spark.createDataFrame([], "query_id long, neighbor_id long")
+    row = _recall_audit(emb, ann, queries, floor=0.2, k=3).collect()[0]
+    assert row["n_exact_pairs"] == 0
+    assert row["recall_ok"] is False
