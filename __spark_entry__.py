@@ -39,6 +39,7 @@ from rdbms_subsetter_spark.queries_ext15 import ext15_oracles, ext15_queries  # 
 from rdbms_subsetter_spark.queries_ext16 import ext16_oracles, ext16_queries  # noqa: E402
 from rdbms_subsetter_spark.queries_ext17 import ext17_oracles, ext17_queries  # noqa: E402
 from rdbms_subsetter_spark.queries_ext18 import ext18_oracles, ext18_queries  # noqa: E402
+from rdbms_subsetter_spark.queries_ext19 import ext19_oracles, ext19_queries  # noqa: E402
 from rdbms_subsetter_spark.queries_tpch import tpch_oracles, tpch_queries  # noqa: E402
 
 
@@ -129,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(ext16_queries())
     out.update(ext17_queries())
     out.update(ext18_queries())
+    out.update(ext19_queries())
     ordered = _grading_order(list(out))
     return {n: out[n] for n in ordered}
 
@@ -156,6 +158,7 @@ def oracle_sql() -> dict[str, str]:
         **ext16_oracles(),
         **ext17_oracles(),
         **ext18_oracles(),
+        **ext19_oracles(),
     }.items():
         if sql is not None:
             out[name] = sql

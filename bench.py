@@ -175,6 +175,9 @@ HEADLINE = [
     "ann_srp_recall",
     "ann_ivf_recall",
     "streaming_asof_enrich",
+    # round 10
+    "decontaminate_substring",
+    "knn_graph_blocked",
 ]
 
 

@@ -1004,21 +1004,38 @@ def substring_dedup_pairs(
        arrays) — per-pair cost is corpus-size-independent, and pairs,
        not tokens, bound the stage.
     """
+    cand = substring_candidates(docs, min_len, max_run_freq)
+    return _lcs_verify(docs, cand, "doc_id_1", "doc_id_2", "lcs_len", min_len)
+
+
+def _lcs_verify(
+    docs: DataFrame,
+    cand: DataFrame,
+    left: str,
+    right: str,
+    out_col: str,
+    min_len: int,
+) -> DataFrame:
+    """Exact-LCS verify stage shared by the within-corpus and
+    cross-corpus substring operators: join each candidate id pair to
+    its two token arrays, run the numpy diagonal-run DP per pair in an
+    Arrow-batched ``mapInPandas`` (per-pair cost O(len₁·len₂),
+    corpus-size-independent), keep pairs with a shared run ≥
+    ``min_len``."""
     import pandas as pd
 
     from pyspark.sql.types import LongType, StructField, StructType
 
-    cand = substring_candidates(docs, min_len, max_run_freq)
     arr = docs.select("doc_id", tokens(normalize(F.col("text"))).alias("t"))
     joined = (
-        cand.join(arr.withColumnsRenamed({"doc_id": "doc_id_1", "t": "t1"}), on="doc_id_1")
-        .join(arr.withColumnsRenamed({"doc_id": "doc_id_2", "t": "t2"}), on="doc_id_2")
+        cand.join(arr.withColumnsRenamed({"doc_id": left, "t": "t1"}), on=left)
+        .join(arr.withColumnsRenamed({"doc_id": right, "t": "t2"}), on=right)
     )
     out_schema = StructType(
         [
-            StructField("doc_id_1", LongType()),
-            StructField("doc_id_2", LongType()),
-            StructField("lcs_len", LongType()),
+            StructField(left, LongType()),
+            StructField(right, LongType()),
+            StructField(out_col, LongType()),
         ]
     )
 
@@ -1049,13 +1066,61 @@ def substring_dedup_pairs(
                 lens.append(best)
             yield pd.DataFrame(
                 {
-                    "doc_id_1": pdf["doc_id_1"],
-                    "doc_id_2": pdf["doc_id_2"],
-                    "lcs_len": np.asarray(lens, dtype=np.int64),
+                    left: pdf[left],
+                    right: pdf[right],
+                    out_col: np.asarray(lens, dtype=np.int64),
                 }
             )
 
     return (
         joined.mapInPandas(lcs_batches, schema=out_schema)
-        .filter(F.col("lcs_len") >= min_len)
+        .filter(F.col(out_col) >= min_len)
     )
+
+
+def substring_decontaminate_pairs(
+    docs: DataFrame,
+    min_len: int = 8,
+    eval_mod: int = 10,
+    max_run_freq: int | None = None,
+) -> DataFrame:
+    """Cross-corpus EXACT-span decontamination: ``(train_doc_id,
+    eval_doc_id, span_len)`` for every train×eval doc pair sharing a
+    contiguous token run of at least ``min_len`` tokens, ``span_len``
+    the exact longest shared run.  The corpus split matches
+    :func:`minhash_cross_corpus_pairs` (eval = doc_id % eval_mod == 0)
+    so the three decontamination lenses compose: exact fixed-n n-gram
+    hits (decontaminate_ngram), fuzzy whole-doc similarity
+    (dedup_minhash_cross_corpus), and this — exact variable-length
+    span containment, the leakage mode the other two miss (a verbatim
+    eval question quoted inside an otherwise-novel training document
+    scores low Jaccard and may dodge a fixed n if the n-gram index is
+    sampled; it can NEVER dodge an exact ≥min_len-run scan).
+
+    Same three bounded stages as :func:`substring_dedup_pairs` —
+    prefix-doubling run classes (O(tokens·log min_len), no global
+    sort), candidates only where a width-w class collides ACROSS the
+    split (volume Σ_cls train-df·eval-df, with ``max_run_freq``
+    dropping classes whose TOTAL df exceeds the cap — universal
+    boilerplate must not pair every train doc with every eval doc),
+    then the exact-LCS Arrow verify.  Candidate volume is strictly
+    smaller than the within-corpus operator's (cross pairs only)."""
+    w = 1 << (min_len.bit_length() - 1)  # largest power of two ≤ min_len
+    cls = suffix_run_classes(docs, w).select("doc_id", "cls").distinct()
+    if max_run_freq is not None:
+        hot = (
+            cls.groupBy("cls")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_run_freq)
+            .select("cls")
+        )
+        cls = cls.join(F.broadcast(hot), on="cls", how="left_anti")
+    is_eval = F.col("doc_id") % eval_mod == 0
+    train = cls.filter(~is_eval).withColumnRenamed("doc_id", "train_doc_id")
+    ev = cls.filter(is_eval).withColumnRenamed("doc_id", "eval_doc_id")
+    cand = (
+        train.join(ev, on="cls")
+        .select("train_doc_id", "eval_doc_id")
+        .distinct()
+    )
+    return _lcs_verify(docs, cand, "train_doc_id", "eval_doc_id", "span_len", min_len)
