@@ -86,15 +86,23 @@ def q_knn_graph_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the block-broadcast kernel (``similarity.cosine_topk_blocked``):
     corpus × corpus in B×B block pairs over an equi-joined grid — no
     driver collect anywhere, so unlike ``knn_graph_degree`` (bounded-
-    broadcast kernel) this path has no 200k corpus ceiling.  block_size
-    128 forces a real multi-block grid at every graded SF (500 vectors
-    → 4 blocks / 16 grid tasks; 2000 → 16 blocks / 256).  Output and
-    oracle are identical to knn_graph_degree: both kernels rank by the
-    same rounded cosine + id tiebreak, so the graded pair pins them to
-    the same exact answer."""
+    broadcast kernel) this path has no 200k corpus ceiling.  Block
+    sizing is ``max(128, ceil(n/32))``: the 128 floor forces a real
+    multi-block grid at every graded SF (500 vectors → 4 blocks / 16
+    grid tasks; 2000 → 16 blocks / 256), while the n/32 term caps the
+    grid at ~1024 tasks as the corpus grows (the ×64 rung's 128k
+    vectors get 4k-vector blocks, ~130 MB of score matrix per task).
+    Block size never changes the RESULT — exactness is property-
+    asserted for single- and multi-block shapes.  Output and oracle
+    are identical to knn_graph_degree: both kernels rank by the same
+    rounded cosine + id tiebreak, so the graded pair pins them to the
+    same exact answer."""
+    import math
+
     cat = Catalog(spark, sf_dir)
     emb = cat["embeddings"]
-    knn = similarity.cosine_topk_blocked(emb, k=3, block_size=128)
+    bs = max(128, math.ceil(emb.count() / 32))
+    knn = similarity.cosine_topk_blocked(emb, k=3, block_size=bs)
     indeg = knn.groupBy(F.col("neighbor_id").alias("vec_id")).agg(
         F.count(F.lit(1)).alias("in_degree")
     )

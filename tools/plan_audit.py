@@ -199,6 +199,22 @@ COMMENTARY["ann_srp_recall"] = (
     "never a cartesian; final combine a single aggregate (no BNLJ "
     "one-row join)."
 )
+COMMENTARY["decontaminate_substring"] = (
+    "Cross-corpus exact-span decontamination (round 10). Wanted: the "
+    "prefix-doubling levels are self-equijoins shuffled on doc_id (no "
+    "global sort anywhere), the hot-class valve a broadcast left_anti, "
+    "the train×eval candidate join an equi-join on the run class — "
+    "never a cartesian; the exact-LCS verify one Arrow mapInPandas "
+    "over candidate pairs only."
+)
+COMMENTARY["knn_graph_blocked"] = (
+    "Block-broadcast exact self-kNN (round 10). Wanted: one "
+    "groupBy(blk) shuffle packs the corpus into B block rows; the BxB "
+    "grid is explode(sequence)+equi-join on the block id — NO "
+    "CartesianProduct/BNLJ; one Arrow mapInPandas scores block pairs "
+    "emitting local top-(k+8) only, so the final window sees "
+    "~B·n·slack rows, never the n² score space; no driver collect."
+)
 # streaming entries are deliberately absent: their queries() callables
 # DRIVE the stream and return the materialized sink table, so a plan
 # captured here would be the memory scan, not the streaming query.

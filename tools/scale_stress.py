@@ -533,6 +533,10 @@ EMB_QUERIES = [
     # itself stays ~linear (the embed_quant_recall lesson)
     "ann_srp_recall",
     "ann_ivf_recall",
+    # round 10: the block-broadcast exact self-kNN — the quadratic
+    # floor measured WITHOUT the driver-collect bound (compare against
+    # knn_graph_degree, which rides the broadcast kernel)
+    "knn_graph_blocked",
 ]
 
 
