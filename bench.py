@@ -178,6 +178,7 @@ HEADLINE = [
     # round 10
     "decontaminate_substring",
     "knn_graph_blocked",
+    "dedup_simhash_pairs",
 ]
 
 

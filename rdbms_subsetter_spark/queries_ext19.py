@@ -136,6 +136,75 @@ GROUP BY in_degree
 """
 
 
+#: Hot-bucket valve pinned on the GRADED simhash-pairs entry (round 10,
+#: VERDICT r09 defect #2): candidate volume is Σ_{(chunk,value)}
+#: C(df,2), and a near-identical-doc corpus detonates one bucket
+#: without a cap.  16 matches the jaccard/substring family caps and is
+#: inert on the graded corpus; one constant, interpolated into BOTH
+#: the operator call and the oracle.
+_SIMHASH_MAX_BUCKET_FREQ = 16
+_SIMHASH_MAX_HAMMING = 3
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See operators.dedup.simhash_pairs: near-dup pairs with
+    Hamming(simhash64) ≤ 3, candidates blocked on 16-bit signature
+    chunks (pigeonhole-exact) with buckets hotter than the family cap
+    dropped (CI tripwire in tests/test_scale_ratios.py).  The existing
+    ``dedup_simhash`` entry grades only the SIGNATURES; this grades
+    the full pair pipeline — blocking, the round-10 bucket valve, and
+    the exact Hamming verify — end-to-end against an oracle that
+    rebuilds the same chunks from its bit strings."""
+    cat = Catalog(spark, sf_dir)
+    pairs = dedup.simhash_pairs(
+        cat["documents"],
+        max_hamming=_SIMHASH_MAX_HAMMING,
+        max_bucket_freq=_SIMHASH_MAX_BUCKET_FREQ,
+    )
+    return pairs.select(
+        "doc_id_1", "doc_id_2", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def _simhash_pairs_oracle(bits: int = 64) -> str:
+    """Chunk blocking + df cap + exact Hamming, all over the SAME
+    md5-derived bit string the graded ``dedup_simhash`` oracle emits:
+    chunk c of doc d is ``substr(bitstr, c*16+1, 16)``, identical bit
+    layout to the Spark side's numeric chunk values (equality of the
+    16-char substring ⟺ equality of the numeric chunk)."""
+    from rdbms_subsetter_spark.queries_ext import _TOKS
+
+    sums = ", ".join(
+        f"sum(CASE WHEN (CAST(('0x' || substr(md5('0|' || tok), 1, 15)) AS BIGINT) >> {b}) & 1 = 1"
+        f" THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits)
+    )
+    bitstr = " || ".join(f"CASE WHEN s{b} > 0 THEN '1' ELSE '0' END" for b in range(bits))
+    width = bits // 4
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+sums AS (SELECT doc_id, {sums} FROM toks GROUP BY doc_id),
+sig AS (SELECT doc_id, {bitstr} AS s FROM sums),
+chunks AS (
+  SELECT doc_id, c, substr(s, c * {width} + 1, {width}) AS cv
+  FROM sig, range(0, 4) t(c)),
+cold AS (
+  SELECT c, cv FROM (SELECT c, cv, count(*) AS df FROM chunks GROUP BY c, cv)
+  WHERE df <= {_SIMHASH_MAX_BUCKET_FREQ}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM chunks a JOIN chunks b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+  JOIN cold k ON k.c = a.c AND k.cv = a.cv),
+ham AS (
+  SELECT d1, d2,
+         (SELECT count(*) FROM range(1, {bits} + 1) g(i)
+          WHERE substr(s1.s, CAST(i AS INT), 1) <> substr(s2.s, CAST(i AS INT), 1)) AS hamming
+  FROM cand JOIN sig s1 ON s1.doc_id = d1 JOIN sig s2 ON s2.doc_id = d2)
+SELECT d1 AS doc_id_1, d2 AS doc_id_2, CAST(hamming AS BIGINT) AS hamming
+FROM ham WHERE hamming <= {_SIMHASH_MAX_HAMMING}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -145,6 +214,7 @@ def ext19_queries() -> dict:
     return {
         "decontaminate_substring": q_decontaminate_substring,
         "knn_graph_blocked": q_knn_graph_blocked,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
     }
 
 
@@ -152,4 +222,5 @@ def ext19_oracles() -> dict:
     return {
         "decontaminate_substring": _SQL_DECONTAM_SUBSTRING,
         "knn_graph_blocked": _SQL_KNN_BLOCKED,
+        "dedup_simhash_pairs": _simhash_pairs_oracle(64),
     }

@@ -395,3 +395,17 @@ def test_recall_audit_degenerate_corpus_is_false_not_null(spark):
     row = _recall_audit(emb, ann, queries, floor=0.2, k=3).collect()[0]
     assert row["n_exact_pairs"] == 0
     assert row["recall_ok"] is False
+
+
+def test_graded_simhash_pairs_entry_pins_the_cap(spark):
+    """The graded dedup_simhash_pairs entry must keep max_bucket_freq
+    pinned (a revert to None re-opens the quadratic bucket path while
+    every graded SF stays green, since the cap is inert there) and the
+    oracle must carry the SAME cap (lockstep contract)."""
+    from rdbms_subsetter_spark.queries_ext19 import (
+        _SIMHASH_MAX_BUCKET_FREQ,
+        _simhash_pairs_oracle,
+    )
+
+    assert _SIMHASH_MAX_BUCKET_FREQ is not None and 1 <= _SIMHASH_MAX_BUCKET_FREQ <= 64
+    assert f"df <= {_SIMHASH_MAX_BUCKET_FREQ}" in _simhash_pairs_oracle(64)
