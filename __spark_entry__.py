@@ -72,25 +72,17 @@ def _graded_union() -> set[str]:
 # verdict describes the old semantics, so they must re-grade inside
 # this round's ~50-entry window — right after the never-graded bucket.
 _REGRADE_THIS_ROUND: tuple[str, ...] = (
-    # round 9: agg_regression's r2 column tightened from 6 to 4
-    # decimals (operator + oracle in lockstep) per ADVICE r08 — the
-    # observed r2 values are near-zero, so a last-digit double-
-    # accumulation difference between Spark and DuckDB could flip the
-    # 6th decimal at some SF; 4 decimals is the agg_stats_moments
-    # family precedent.  Values change (more rounding), so the r08
-    # verdict describes old semantics and the entry re-grades.
-    "agg_regression",
-    # round 9: dedup_substring_exact pins max_run_freq=16 (operator +
-    # oracle in lockstep — the oracle drops 8-gram classes with doc-df
-    # above the cap before pairing, exactly as the Spark candidate
-    # stage does).  The cap is inert on the graded corpus (hottest run
-    # class df=3, outputs identical), but the uncapped default was the
-    # one remaining quadratic-candidate exposure (VERDICT r08 defect
-    # #2); CI now detonates a shared-footer corpus to keep the valve
-    # honest (tests/test_scale_ratios.py).
+    # round 10: empty — the round-9 markers (agg_regression's r2
+    # rounding, dedup_substring_exact's max_run_freq pin) re-graded
+    # green in CORRECTNESS_r09 and no graded entry changed semantics
+    # this round (the recall audits' degenerate-corpus coalesce leaves
+    # every graded output bit-identical: exact pairs > 0 at all SFs;
+    # oracle text unchanged).  Round-10 additions (decontaminate_
+    # substring, knn_graph_blocked, dedup_simhash_pairs) are new
+    # registrations, not semantics flips — they grade first as
+    # never-graded entries.
     # Any future semantics flip MUST list itself here; enforced by the
     # oracle-manifest guard in tests/test_registration.py.
-    "dedup_substring_exact",
 )
 
 
