@@ -1115,6 +1115,11 @@ def substring_decontaminate_pairs(
             .select("cls")
         )
         cls = cls.join(F.broadcast(hot), on="cls", how="left_anti")
+    # checkpoint BEFORE the split: the train/eval branches carry
+    # different filters, so without it Catalyst cannot reuse the
+    # exchange and the whole prefix-doubling chain (log₂ w self-joins)
+    # runs once per side — measured ~2× of the candidate stage at ×64
+    cls = cls.localCheckpoint(eager=True)
     is_eval = F.col("doc_id") % eval_mod == 0
     train = cls.filter(~is_eval).withColumnRenamed("doc_id", "train_doc_id")
     ev = cls.filter(is_eval).withColumnRenamed("doc_id", "eval_doc_id")
