@@ -409,3 +409,51 @@ def test_graded_simhash_pairs_entry_pins_the_cap(spark):
 
     assert _SIMHASH_MAX_BUCKET_FREQ is not None and 1 <= _SIMHASH_MAX_BUCKET_FREQ <= 64
     assert f"df <= {_SIMHASH_MAX_BUCKET_FREQ}" in _simhash_pairs_oracle(64)
+
+
+def test_containment_cap_drops_universal_boilerplate(spark):
+    """Round-10: the graded dedup_ngram_containment entry pins the
+    family df cap — tripwire on the shared-footer shape: 40 docs each
+    carrying the same 6-token footer (4 hot trigrams, df=40 > 16)
+    plus one genuine quote-inclusion pair (doc 1's full body quoted
+    inside doc 2's longer text; their shingles df=2 survive).  The
+    uncapped operator pairs every doc with every doc through the
+    footer's shared CANDIDATES (containment stays below threshold for
+    unrelated docs, so the quadratic cost hides in the join, not the
+    output); the capped operator never generates those candidate rows
+    AND still finds the real inclusion."""
+    from rdbms_subsetter_spark.operators.dedup import ngram_containment_pairs
+
+    footer = " ".join(f"lic{i}" for i in range(6))
+    quote = " ".join(f"quo{i}" for i in range(10))
+    rows = []
+    for j in range(40):
+        body = " ".join(f"b{j:03d}x{i:02d}" for i in range(10))
+        if j == 1:
+            rows.append((j, f"{quote} {footer}"))
+        elif j == 2:
+            # contains doc 1's ENTIRE text (quote+footer) contiguously,
+            # so every one of doc 1's cap-surviving shingles (quote +
+            # quote→footer boundary) appears in doc 2
+            rows.append((j, f"{body} {quote} {footer}"))
+        else:
+            rows.append((j, f"{body} {footer}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = sorted(
+        (r["contained_id"], r["container_id"])
+        for r in ngram_containment_pairs(
+            docs, n=3, threshold=0.9, max_doc_freq=16
+        ).collect()
+    )
+    # doc 1 = quote+footer; with the footer's hot trigrams dropped,
+    # doc 1's remaining shingles are the quote's, all inside doc 2
+    assert (1, 2) in got
+    # no unrelated doc pairs survive (bodies are disjoint)
+    assert all(p == (1, 2) or 1 in p or 2 in p for p in got)
+
+    # graded wiring pins the cap: oracle text carries the capped CTE
+    from rdbms_subsetter_spark.queries_ext import NGRAM_MAX_DOC_FREQ
+    from rdbms_subsetter_spark.queries_ext12 import _containment_cte
+
+    assert f"count(*) <= {NGRAM_MAX_DOC_FREQ}" in _containment_cte()
