@@ -229,6 +229,35 @@ ISOLATE_DEFAULT = [
 ]
 
 
+# An isolation-listed entry whose IN-SESSION time already reads at or
+# under this multiple of its BENCH_HISTORY.json pin is clean — it cannot
+# breach the 2x gate — so the fresh-process re-measure is skipped
+# (VERDICT r10 task 4: on the driver's contended r10 run the isolated
+# subprocesses were strictly SLOWER than in-session, e.g. ann_srp_recall
+# 32.2 s isolated vs 4.3 s in-session, burning ~7 JVM cold-starts for
+# numbers the min() then discarded).  Entries with no pin yet always
+# isolate (their first recorded number should be the protocol's best).
+SKIP_ISOLATION_RATIO = 1.2
+
+
+def _skip_isolation(
+    name: str,
+    timings: dict[str, float],
+    errors: dict[str, str],
+    history: dict[str, dict],
+) -> bool:
+    """True when the fresh-process re-measure would be wasted: the
+    in-session number already reads clean against the entry's pin.
+    Errored entries and entries with no pin never skip."""
+    pin = history.get(name, {}).get("first")
+    return (
+        name in timings
+        and name not in errors
+        and isinstance(pin, (int, float))
+        and timings[name] <= SKIP_ISOLATION_RATIO * pin
+    )
+
+
 def _isolate_list() -> list[str]:
     raw = os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "1")
     if raw in ("0", "", "none"):
@@ -304,11 +333,23 @@ def main() -> None:
             timings[name] = min(timings.get(name, elapsed), elapsed)
 
     # Process-isolated re-measure of the aging-prone entries; keep the
-    # better (lower) of the two measurements per entry.
+    # better (lower) of the two measurements per entry.  Entries whose
+    # in-session number is already clean against their history pin skip
+    # the JVM cold-start entirely (SKIP_ISOLATION_RATIO above).
+    try:
+        with open(REPO / "BENCH_HISTORY.json") as fh:
+            history = json.load(fh)
+    except Exception:
+        history = {}
     isolated: dict[str, float] = {}
+    isolation_skipped_clean: list[str] = []
+    recovered_errors: dict[str, str] = {}
     for name in _isolate_list():
         if name not in timings and name not in errors:
             continue  # not in HEADLINE under this configuration
+        if _skip_isolation(name, timings, errors, history):
+            isolation_skipped_clean.append(name)
+            continue
         import subprocess
 
         try:
@@ -325,10 +366,13 @@ def main() -> None:
                 isolated[name] = rec["sec"]
                 timings[name] = min(timings.get(name, rec["sec"]), rec["sec"])
                 # an entry that errored in-session but succeeds in the
-                # fresh process is NOT an error for this run: keeping
-                # it in `errors` would both void the headline total
-                # and double-report the entry (ADVICE r09)
-                errors.pop(name, None)
+                # fresh process is NOT an error for this run (keeping it
+                # in `errors` would both void the headline total and
+                # double-report the entry, ADVICE r09) — but the flaky
+                # in-session failure must stay visible, so it moves to
+                # `recovered_errors` instead of vanishing (ADVICE r10)
+                if name in errors:
+                    recovered_errors[name] = errors.pop(name)
         except Exception:
             pass  # isolation is best-effort; in-session number stands
 
@@ -353,7 +397,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "errors": errors,
+        "recovered_errors": recovered_errors,
         "isolated": isolated,
+        "isolation_skipped_clean": sorted(isolation_skipped_clean),
         "sf": float(sf),
     }
     with open(REPO / "BENCH_DETAIL.json", "w") as f:

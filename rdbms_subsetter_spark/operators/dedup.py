@@ -931,6 +931,24 @@ def suffix_run_classes(docs: DataFrame, width: int) -> DataFrame:
     return r
 
 
+def _require_cap_width_alignment(min_len: int, max_run_freq: int | None) -> None:
+    """``max_run_freq`` caps the df of width-w run classes where
+    w = 2^⌊log₂ min_len⌋, while the DuckDB oracles cap the df of exactly
+    min_len-grams; the two coincide only when min_len IS a power of two
+    (w == min_len).  A caller passing e.g. min_len=12 with a cap would
+    get w=8 and could silently drop pairs the oracle keeps (a hot 8-run
+    with a cold 12-gram), breaking the operator/oracle lockstep — so a
+    capped run with a non-power-of-two min_len is refused outright
+    rather than graded divergently (ADVICE r10).  Uncapped runs accept
+    any min_len: candidates are a superset and the verify stage trims."""
+    if max_run_freq is not None and min_len & (min_len - 1):
+        raise ValueError(
+            f"max_run_freq={max_run_freq} requires min_len to be a power of "
+            f"two (got {min_len}): the df cap acts on width-{1 << (min_len.bit_length() - 1)} "
+            "run classes and would diverge from a min_len-gram-granularity oracle"
+        )
+
+
 def substring_candidates(
     docs: DataFrame,
     min_len: int = 8,
@@ -946,6 +964,7 @@ def substring_candidates(
     footers) are dropped BEFORE the self-join, exactly like the jaccard
     family's ``max_doc_freq``.  Without it a corpus where every doc
     shares one ≥w-token run goes quadratic in that one class."""
+    _require_cap_width_alignment(min_len, max_run_freq)
     w = 1 << (min_len.bit_length() - 1)  # largest power of two ≤ min_len
     cls = suffix_run_classes(docs, w).select("doc_id", "cls").distinct()
     if max_run_freq is not None:
@@ -1105,6 +1124,7 @@ def substring_decontaminate_pairs(
     boilerplate must not pair every train doc with every eval doc),
     then the exact-LCS Arrow verify.  Candidate volume is strictly
     smaller than the within-corpus operator's (cross pairs only)."""
+    _require_cap_width_alignment(min_len, max_run_freq)
     w = 1 << (min_len.bit_length() - 1)  # largest power of two ≤ min_len
     cls = suffix_run_classes(docs, w).select("doc_id", "cls").distinct()
     if max_run_freq is not None:

@@ -191,11 +191,15 @@ def cosine_topk_blocked(
 
     Block-matrix outer product, Spark-first:
 
-    1. Each vector lands in block ``vec_id % B`` with
+    1. Each vector lands in block ``pmod(xxhash64(vec_id), B)`` with
        ``B = ceil(n / block_size)`` (one bounded ``count()`` job).
+       Hashing — not ``vec_id % B`` — keeps block sizes balanced for
+       ARBITRARY id distributions (all-even ids, striding gaps, …);
+       a raw modulo could pile a multiple of ``block_size`` into one
+       block and void the per-task memory bound below (ADVICE r10).
        One ``groupBy(blk)`` packs each block into a single row of
-       (ids, vectors) — ≤ ``block_size`` × dim floats ≈ 2 MB at the
-       4096 default.
+       (ids, vectors) — ~``block_size`` × dim floats ≈ 2 MB at the
+       4096 default (hash balance is binomial-tight, not exact).
     2. The B×B block-pair grid comes from ``explode(sequence(0, B-1))``
        on the query side joined to the corpus side ON THE BLOCK ID —
        an equi-join, never a CartesianProduct/BNLJ (the battery-wide
@@ -233,7 +237,9 @@ def cosine_topk_blocked(
 
     packed = (
         corpus.select(
-            F.col("vec_id"), F.col("embedding"), F.pmod("vec_id", F.lit(n_blocks)).alias("blk")
+            F.col("vec_id"),
+            F.col("embedding"),
+            F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_blocks)).alias("blk"),
         )
         .groupBy("blk")
         .agg(F.collect_list("vec_id").alias("ids"), F.collect_list("embedding").alias("vecs"))

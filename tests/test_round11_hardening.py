@@ -1,0 +1,117 @@
+"""Round-11 hardening tests (ADVICE r10 + VERDICT r10 task 4):
+
+* the max_run_freq / min_len power-of-two alignment guard on the
+  substring family (a capped run with non-power-of-two min_len would
+  silently diverge from the min_len-gram-granularity oracles),
+* hash-balanced block assignment in cosine_topk_blocked (modulo-skewed
+  vec_id spaces must not void the per-task memory bound),
+* bench.py's skip-isolation-when-clean predicate.
+"""
+
+import pytest
+
+import bench
+
+
+# ---------------------------------------------------------------- substring
+
+
+def test_cap_requires_power_of_two_min_len(spark):
+    from rdbms_subsetter_spark.operators.dedup import (
+        substring_candidates,
+        substring_decontaminate_pairs,
+        substring_dedup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 4) for i in range(4)],
+        "doc_id long, text string",
+    )
+    for fn in (substring_candidates, substring_dedup_pairs, substring_decontaminate_pairs):
+        with pytest.raises(ValueError, match="power of"):
+            fn(docs, min_len=12, max_run_freq=16)
+    # power-of-two min_len with a cap is the graded configuration
+    substring_candidates(docs, min_len=8, max_run_freq=16)
+    # non-power-of-two WITHOUT a cap stays legal: candidates are a
+    # superset at width w and the exact-LCS verify trims to min_len
+    substring_candidates(docs, min_len=12, max_run_freq=None)
+
+
+def test_uncapped_non_power_of_two_min_len_still_exact(spark):
+    """min_len=12 (w=8 candidates) without a cap finds exactly the
+    pairs sharing a >=12-token run — the verify stage owns exactness."""
+    from rdbms_subsetter_spark.operators.dedup import substring_dedup_pairs
+
+    shared12 = " ".join(f"s{i}" for i in range(12))
+    shared9 = " ".join(f"t{i}" for i in range(9))
+    docs = spark.createDataFrame(
+        [
+            (1, f"one unique lead {shared12} enda xa"),
+            (2, f"two other intro {shared12} endb yb"),
+            (3, f"three has {shared9} only c"),
+            (4, f"four has {shared9} only d"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = substring_dedup_pairs(docs, min_len=12).collect()
+    assert {(r.doc_id_1, r.doc_id_2) for r in rows} == {(1, 2)}
+    assert rows[0].lcs_len == 12
+
+
+# ------------------------------------------------------------- blocked kNN
+
+
+def test_blocked_knn_balanced_blocks_on_skewed_ids(spark):
+    """ADVICE r10: all-even vec_ids under the old `vec_id % B` scheme
+    left half the blocks empty and doubled the rest, voiding the
+    ~block_size memory bound.  Hash assignment keeps every block near
+    block_size AND the result stays exact (identical to the broadcast
+    kernel, whose ranking is blocking-independent)."""
+    import pyspark.sql.functions as F
+
+    from rdbms_subsetter_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_blocked,
+    )
+
+    emb = spark.createDataFrame(
+        [(2 * i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)]) for i in range(128)],
+        "vec_id long, embedding array<float>",
+    )
+    n_blocks = 8  # 128 vectors / block_size 16
+    blk = emb.select(
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_blocks)).alias("blk")
+    )
+    sizes = {r.blk: r.n for r in blk.groupBy("blk").count().withColumnRenamed("count", "n").collect()}
+    assert len(sizes) == n_blocks, "every block populated despite all-even ids"
+    assert max(sizes.values()) <= 2 * 16, "no block holds a multiple of block_size"
+
+    def rows(df):
+        return sorted(
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in df.collect()
+        )
+
+    got = rows(cosine_topk_blocked(emb, k=3, block_size=16))
+    want = rows(cosine_topk(emb, emb, k=3))
+    assert got == want
+
+
+# ------------------------------------------------------------------- bench
+
+
+def test_skip_isolation_predicate():
+    hist = {"a": {"first": 2.0}, "b": {"first": 2.0}, "c": {"first": 2.0}}
+    timings = {"a": 2.3, "b": 2.5, "d": 1.0}
+    errors = {"c": "Boom"}
+    # clean: 2.3 <= 1.2 * 2.0
+    assert bench._skip_isolation("a", timings, errors, hist)
+    # over the clean threshold -> isolate
+    assert not bench._skip_isolation("b", timings, errors, hist)
+    # errored in-session -> always isolate (recovery path)
+    assert not bench._skip_isolation("c", timings, errors, hist)
+    # no pin yet -> always isolate (first recorded number should be
+    # the protocol's best)
+    assert not bench._skip_isolation("d", timings, errors, hist)
+    # not measured at all
+    assert not bench._skip_isolation("e", timings, errors, hist)

@@ -13,7 +13,31 @@ failing if any exceeds the gate.
 Usage:
     python tools/bench_gate.py rebuild    # regenerate BENCH_HISTORY.json
     python tools/bench_gate.py check      # gate current BENCH_DETAIL.json
-    python tools/bench_gate.py check --warn 1.5 --gate 2.0
+    python tools/bench_gate.py check --warn 1.5 --gate 2.0 --ceiling 4.0
+    python tools/bench_gate.py repin NAME --note "why"   # dated re-pin
+
+Drift robustness (round 11, VERDICT r10 task 1):
+
+* **Re-pins** live in ``BENCH_REPINS.json`` — dated, annotated
+  adjudications that supersede a git-reconstructed ``first`` (most aged
+  pins date to a commit where the battery was a fraction of its size
+  and the measurement discipline was ``in-session``).  ``rebuild``
+  stays a PURE git reconstruction; both ``check`` and the written
+  history overlay the re-pins at read time, so provenance is never
+  destroyed: the superseded value is kept inside the re-pin record.
+
+* **Canary normalization**: the sub-second pure-SQL cohort (entries
+  with no Python/BLAS/streaming anywhere, which cannot regress
+  algorithmically without the whole battery moving) is a free
+  host-speed probe.  ``check`` computes ``host_factor`` = median canary
+  ratio, reports every ratio raw AND normalized (raw / max(1,
+  host_factor)), and gates on the NORMALIZED number — a breach whose
+  raw ratio exceeds the gate but whose normalized ratio does not is
+  classified ``ambient`` (machine-readably, in BENCH_GATE_REPORT.json)
+  instead of failing the run.  An absolute raw ceiling (default 4×)
+  stays in force so normalization can never hide a uniform real
+  regression: any entry over the ceiling fails regardless of the
+  canaries (which a uniform real regression would drag along too).
 
 `check` distinguishes the two failure shapes the drift protocol cares
 about: a UNIFORM shift of the whole battery (median ratio moves with
@@ -25,6 +49,8 @@ re-measure min-of-3 and root-cause before believing it).
 from __future__ import annotations
 
 import argparse
+import ast
+import datetime
 import json
 import subprocess
 import sys
@@ -33,7 +59,34 @@ from statistics import median
 
 REPO = Path(__file__).resolve().parents[1]
 HISTORY = REPO / "BENCH_HISTORY.json"
+REPINS = REPO / "BENCH_REPINS.json"
 DETAIL = REPO / "BENCH_DETAIL.json"
+REPORT = REPO / "BENCH_GATE_REPORT.json"
+
+# Host-speed canaries: sub-second pure-SQL/codegen entries — no Python
+# workers, no BLAS, no streaming state, no file-layout sensitivity —
+# whose only way to slow down together is the host itself.  Each canary
+# is still individually gated by the absolute raw ceiling, and with
+# this many of them one genuinely-regressed canary cannot move the
+# median; a UNIFORM code regression across all of them would also hit
+# the ceiling on the heavier entries it would equally affect.
+CANARIES = [
+    "sql_pipe_syntax",
+    "sql_null_semantics",
+    "dq_observed_metrics",
+    "sql_collations",
+    "heavy_hitters_tokens",
+    "events_hourly",
+    "agg_rollup",
+    "agg_pivot",
+    "array_higher_order",
+    "mixture_weighted_sample",
+    "tpch_disjunctive_filter",
+    "docs_per_source_cap",
+    "events_anomaly_zscore",
+    "text_tokenize_bpe",
+    "json_variant_extract",
+]
 
 
 def _git(*args: str) -> str:
@@ -42,10 +95,31 @@ def _git(*args: str) -> str:
     ).stdout
 
 
+def _isolate_names(bench_src: str) -> list[str]:
+    """String constants of the ISOLATE_DEFAULT list literal, parsed from
+    the AST (ADVICE r10: the old fixed-width substring window would
+    silently misclassify once the list outgrew it)."""
+    try:
+        tree = ast.parse(bench_src)
+    except SyntaxError:
+        return []
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Assign) and any(
+            getattr(t, "id", None) == "ISOLATE_DEFAULT" for t in node.targets
+        ):
+            if isinstance(node.value, (ast.List, ast.Tuple)):
+                return [
+                    e.value
+                    for e in node.value.elts
+                    if isinstance(e, ast.Constant) and isinstance(e.value, str)
+                ]
+    return []
+
+
 def _protocol_at(sha: str) -> str:
     """Measurement discipline in force when a pin was recorded, read
     from THAT commit's bench.py (VERDICT r09 task 7: `first` values
-    span three disciplines; future drift adjudication should not have
+    span several disciplines; future drift adjudication should not have
     to re-litigate which protocol a pin was taken under).
 
     * ``in-session``      — pre-r8: every entry timed inside one aging
@@ -53,8 +127,11 @@ def _protocol_at(sha: str) -> str:
     * ``isolated-v1``     — r8/r9: BLAS env+ctypes caps in force,
                             min(in-session, fresh-process) for the
                             BLAS/recall/streaming isolation list.
-    * ``isolated-v2``     — r10+: isolation list extended to the
+    * ``isolated-v2``     — r10: isolation list extended to the
                             shingle/doc-dedup family.
+    * ``isolated-v3``     — r11+: v2 plus skip-if-clean (an entry
+                            already ≤1.2× of its pin in-session skips
+                            the fresh-process re-measure).
     """
     try:
         bench = _git("show", f"{sha}:bench.py")
@@ -62,14 +139,43 @@ def _protocol_at(sha: str) -> str:
         return "in-session"
     if "ISOLATE_DEFAULT" not in bench:
         return "in-session"
-    if "dedup_minhash_lsh" in bench.split("ISOLATE_DEFAULT", 1)[1][:2000]:
+    if "SKIP_ISOLATION_RATIO" in bench:
+        return "isolated-v3"
+    if "dedup_minhash_lsh" in _isolate_names(bench):
         return "isolated-v2"
     return "isolated-v1"
 
 
+def _load_repins() -> dict[str, dict]:
+    if not REPINS.exists():
+        return {}
+    with open(REPINS) as fh:
+        return json.load(fh)
+
+
+def _overlay_repins(hist: dict[str, dict]) -> dict[str, dict]:
+    """Apply dated re-pins on top of the git-reconstructed history.
+    A re-pin replaces `first`/`protocol` (provenance preserved in its
+    own `supersedes` field) and may CREATE a pin for an entry that has
+    no git history yet (e.g. one whose first recorded runs were known
+    ambient-inflated and deliberately not pinned)."""
+    for name, rp in _load_repins().items():
+        base = hist.get(name, {})
+        hist[name] = {
+            "first": rp["first"],
+            "first_commit": f"repin:{rp['date']}",
+            "min": min(base.get("min", rp["first"]), rp["first"]),
+            "protocol": rp.get("protocol", "isolated-v3"),
+            "repin_note": rp.get("note", ""),
+        }
+    return hist
+
+
 def rebuild(sf: float = 0.1) -> None:
     """Only commits benched at the gate's scale factor count — dev-loop
-    runs at sf0.01 would otherwise poison the first-recorded values."""
+    runs at sf0.01 would otherwise poison the first-recorded values.
+    The written file includes the BENCH_REPINS.json overlay so every
+    consumer of BENCH_HISTORY.json sees the adjudicated pins."""
     commits = _git(
         "log", "--reverse", "--format=%H %ct", "--", "BENCH_DETAIL.json"
     ).splitlines()
@@ -99,16 +205,48 @@ def rebuild(sf: float = 0.1) -> None:
                 },
             )
             h["min"] = min(h["min"], sec)
+    hist = _overlay_repins(hist)
     with open(HISTORY, "w") as fh:
         json.dump(hist, fh, indent=1, sort_keys=True)
     print(f"BENCH_HISTORY.json: {len(hist)} queries from {len(commits)} commits")
 
 
-def check(warn: float, gate: float) -> int:
+def repin(name: str, note: str, value: float | None = None) -> int:
+    """Record a dated re-pin for `name` from the current
+    BENCH_DETAIL.json (or an explicit --value), preserving the
+    superseded git pin inside the record, then rewrite the history."""
+    detail = json.load(open(DETAIL))
+    if value is None:
+        value = detail.get("queries", {}).get(name)
+    if not isinstance(value, (int, float)):
+        print(f"no timing for {name} in BENCH_DETAIL.json and no --value", file=sys.stderr)
+        return 2
+    hist = json.load(open(HISTORY)) if HISTORY.exists() else {}
+    repins = _load_repins()
+    old = hist.get(name)
+    repins[name] = {
+        "first": value,
+        "date": datetime.date.today().isoformat(),
+        "protocol": "isolated-v3",
+        "note": note,
+        "supersedes": (
+            {k: old[k] for k in ("first", "first_commit", "protocol") if k in old}
+            if old and not old.get("first_commit", "").startswith("repin:")
+            else old
+        ),
+    }
+    with open(REPINS, "w") as fh:
+        json.dump(repins, fh, indent=1, sort_keys=True)
+    rebuild()
+    print(f"re-pinned {name} at {value}s ({note})")
+    return 0
+
+
+def check(warn: float, gate: float, ceiling: float) -> int:
     if not HISTORY.exists():
         print("no BENCH_HISTORY.json — run `rebuild` first", file=sys.stderr)
         return 2
-    hist = json.load(open(HISTORY))
+    hist = _overlay_repins(json.load(open(HISTORY)))
     detail = json.load(open(DETAIL))
     ratios: dict[str, float] = {}
     new: list[str] = []
@@ -124,42 +262,116 @@ def check(warn: float, gate: float) -> int:
     if not ratios:
         print("no overlapping queries between detail and history", file=sys.stderr)
         return 2
+
+    canary_ratios = {n: ratios[n] for n in CANARIES if n in ratios}
+    host_factor = median(canary_ratios.values()) if canary_ratios else 1.0
+    norm_div = max(1.0, host_factor)
     med = median(ratios.values())
+    med_norm = med / norm_div
     worst = sorted(ratios.items(), key=lambda kv: -kv[1])
     print(
-        f"{len(ratios)} queries vs first-recorded: median ratio {med:.2f}, "
-        f"worst {worst[0][1]:.2f}x ({worst[0][0]})"
+        f"{len(ratios)} queries vs first-recorded: median ratio {med:.2f} "
+        f"(normalized {med_norm:.2f}), host_factor {host_factor:.2f} from "
+        f"{len(canary_ratios)} canaries, worst {worst[0][1]:.2f}x ({worst[0][0]})"
         + (f"; {len(new)} new (no history yet): {sorted(new)}" if new else "")
     )
+
     flagged = [(n, r) for n, r in worst if r > warn]
+    findings: list[dict] = []
     for n, r in flagged:
+        norm = r / norm_div
+        if r > ceiling:
+            cls = "real"  # over the absolute ceiling: never excusable
+        elif norm > gate:
+            cls = "real"
+        elif r > gate:
+            cls = "ambient"  # raw-only breach, normalized is clean
+        else:
+            cls = "warn"
         shape = (
             "uniform-drift candidate (median moved too)"
             if med > warn * 0.85
             else "ISOLATED outlier — re-measure min-of-3 and root-cause"
         )
         print(
-            f"  {r:5.2f}x  {n}  (first {hist[n]['first']}s @ "
-            f"{hist[n]['first_commit']}, all-time min {hist[n]['min']}s) — {shape}"
+            f"  {r:5.2f}x raw / {norm:4.2f}x norm  [{cls:7s}]  {n}  "
+            f"(first {hist[n]['first']}s @ {hist[n]['first_commit']}, "
+            f"all-time min {hist[n]['min']}s) — {shape}"
         )
-    over_gate = [n for n, r in flagged if r > gate]
-    if over_gate:
-        print(f"GATE BREACH (> {gate}x): {over_gate}", file=sys.stderr)
+        findings.append(
+            {
+                "query": n,
+                "ratio_raw": round(r, 3),
+                "ratio_normalized": round(norm, 3),
+                "classification": cls,
+                "first": hist[n]["first"],
+                "first_commit": hist[n]["first_commit"],
+                "protocol": hist[n].get("protocol", "unknown"),
+                "all_time_min": hist[n]["min"],
+            }
+        )
+
+    real = [f["query"] for f in findings if f["classification"] == "real"]
+    ambient = [f["query"] for f in findings if f["classification"] == "ambient"]
+    report = {
+        "gate": gate,
+        "warn": warn,
+        "ceiling": ceiling,
+        "n_queries": len(ratios),
+        "median_ratio_raw": round(med, 3),
+        "median_ratio_normalized": round(med_norm, 3),
+        "host_factor": round(host_factor, 3),
+        "canaries_used": sorted(canary_ratios),
+        "canary_ratios": {n: round(v, 3) for n, v in sorted(canary_ratios.items())},
+        "new_queries": sorted(new),
+        "findings": findings,
+        "real_breaches": real,
+        "ambient_breaches": ambient,
+        "verdict": "FAIL" if real else "OK",
+    }
+    with open(REPORT, "w") as fh:
+        json.dump(report, fh, indent=1, sort_keys=True)
+
+    if real:
+        print(
+            f"GATE BREACH (normalized > {gate}x or raw > {ceiling}x): {real}",
+            file=sys.stderr,
+        )
         return 1
+    if ambient:
+        print(
+            f"gate OK after canary normalization — raw-only (ambient) breaches "
+            f"recorded in BENCH_GATE_REPORT.json: {ambient}"
+        )
+        return 0
     print(f"gate OK: no query over {gate}x of first-recorded")
     return 0
 
 
 def main() -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("cmd", choices=["rebuild", "check"])
+    p.add_argument("cmd", choices=["rebuild", "check", "repin"])
+    p.add_argument("name", nargs="?", help="query name (repin only)")
     p.add_argument("--warn", type=float, default=1.5)
     p.add_argument("--gate", type=float, default=2.0)
+    p.add_argument(
+        "--ceiling",
+        type=float,
+        default=4.0,
+        help="absolute raw-ratio ceiling that canary normalization can never excuse",
+    )
+    p.add_argument("--note", default="", help="repin annotation (required for repin)")
+    p.add_argument("--value", type=float, default=None, help="explicit repin seconds")
     a = p.parse_args()
     if a.cmd == "rebuild":
         rebuild()
         return 0
-    return check(a.warn, a.gate)
+    if a.cmd == "repin":
+        if not a.name or not a.note:
+            print("repin requires NAME and --note", file=sys.stderr)
+            return 2
+        return repin(a.name, a.note, a.value)
+    return check(a.warn, a.gate, a.ceiling)
 
 
 if __name__ == "__main__":
