@@ -40,6 +40,7 @@ from rdbms_subsetter_spark.queries_ext16 import ext16_oracles, ext16_queries  # 
 from rdbms_subsetter_spark.queries_ext17 import ext17_oracles, ext17_queries  # noqa: E402
 from rdbms_subsetter_spark.queries_ext18 import ext18_oracles, ext18_queries  # noqa: E402
 from rdbms_subsetter_spark.queries_ext19 import ext19_oracles, ext19_queries  # noqa: E402
+from rdbms_subsetter_spark.queries_ext20 import ext20_oracles, ext20_queries  # noqa: E402
 from rdbms_subsetter_spark.queries_tpch import tpch_oracles, tpch_queries  # noqa: E402
 
 
@@ -72,26 +73,17 @@ def _graded_union() -> set[str]:
 # verdict describes the old semantics, so they must re-grade inside
 # this round's ~50-entry window — right after the never-graded bucket.
 _REGRADE_THIS_ROUND: tuple[str, ...] = (
-    # round 10: dedup_ngram_containment pins max_doc_freq to the
-    # shingle family's shared cap (operator + oracle in lockstep) —
-    # it was the LAST shingle operator graded uncapped, i.e. the last
-    # inverted-index self-join that could go Σ C(df,2) quadratic on a
-    # boilerplate corpus (the family's three historical failures were
-    # all this shape).  The cap is INERT on the graded corpus (no
-    # trigram df exceeds 16 at any graded SF — verified in DuckDB, 55
-    # and 50 rows identical capped vs uncapped), but the oracle TEXT
-    # changed, so the entry carries the marker per the grading-order
-    # contract (the embed_quant_recall r8 precedent).  The round-9
-    # markers re-graded green in
-    # CORRECTNESS_r09 and dropped off; the recall audits' degenerate-
-    # corpus coalesce left every graded output bit-identical (exact
-    # pairs > 0 at all SFs, oracle text unchanged) so it carries no
-    # marker.  Round-10 additions (decontaminate_substring,
-    # knn_graph_blocked, dedup_simhash_pairs) are new registrations,
-    # not semantics flips — they grade first as never-graded entries.
-    # Any future semantics flip MUST list itself here; enforced by the
-    # oracle-manifest guard in tests/test_registration.py.
-    "dedup_ngram_containment",
+    # Round 11: empty.  The round-10 marker (dedup_ngram_containment's
+    # cap flip) re-graded green in CORRECTNESS_r10 and dropped off.
+    # Round-11 changes are not semantics flips: the blocked-kNN block
+    # assignment moved to hashed ids but the kernel is exact under ANY
+    # blocking (property-asserted bit-identical to the broadcast
+    # kernel), and the substring-cap power-of-two guard only REJECTS
+    # configurations that were never graded.  Round-11 additions
+    # (avro_source_agg, agg_quantile_rollup) are new registrations —
+    # they grade first as never-graded entries.  Any future semantics
+    # flip MUST list itself here; enforced by the oracle-manifest
+    # guard in tests/test_registration.py.
 )
 
 
@@ -132,6 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(ext17_queries())
     out.update(ext18_queries())
     out.update(ext19_queries())
+    out.update(ext20_queries())
     ordered = _grading_order(list(out))
     return {n: out[n] for n in ordered}
 
@@ -160,6 +153,7 @@ def oracle_sql() -> dict[str, str]:
         **ext17_oracles(),
         **ext18_oracles(),
         **ext19_oracles(),
+        **ext20_oracles(),
     }.items():
         if sql is not None:
             out[name] = sql

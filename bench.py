@@ -179,6 +179,9 @@ HEADLINE = [
     "decontaminate_substring",
     "knn_graph_blocked",
     "dedup_simhash_pairs",
+    # round 11
+    "avro_source_agg",
+    "agg_quantile_rollup",
 ]
 
 

@@ -14,6 +14,7 @@ def _module_dicts():
         queries_ext5, queries_ext6, queries_ext7, queries_ext8, queries_ext9,
         queries_ext10, queries_ext11, queries_ext12, queries_ext13, queries_ext14,
         queries_ext15, queries_ext16, queries_ext17, queries_ext18, queries_ext19,
+        queries_ext20,
         queries_tpch,
     )
 
@@ -38,6 +39,7 @@ def _module_dicts():
         "ext17": queries_ext17.ext17_queries(),
         "ext18": queries_ext18.ext18_queries(),
         "ext19": queries_ext19.ext19_queries(),
+        "ext20": queries_ext20.ext20_queries(),
         "tpch": queries_tpch.tpch_queries(),
     }
 
