@@ -216,6 +216,7 @@ _BNLJ_ALLOWED = {
     "tpch_important_parts",        # 1-row grand-total sum (Q11 shape)
     "hybrid_search_rrf",           # 1-row BM25 stats agg + 1-row query vector
     "join_cardinality_sketch",     # 1-row sketch/exact audit aggregates
+    "agg_quantile_rollup",         # 1-row global [min,max] bounds aggregate
 }
 
 
