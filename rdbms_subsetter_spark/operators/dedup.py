@@ -54,10 +54,37 @@ def drop_exact_duplicates(docs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _spread_input(docs: DataFrame) -> DataFrame:
+    """Round-robin repartition of an input whose scan parallelism is far
+    below the session's cores — guide §2.5 "input skew": a small (or
+    unsplittable) file scans as ONE task (parquet splits floor at
+    ``spark.sql.files.openCostInBytes`` = 4 MB, so a sub-4 MB table is
+    always a single split), and every downstream per-row expansion this
+    family runs BEFORE its first exchange (shingle explode + n salted
+    md5s, 64 simhash bit sums, suffix-run hashing) then executes on one
+    core.  Measured 4.5 → 1.1 s on the minhash signature aggregate at
+    sf0.1.  Applied only when the partition count is actually degenerate
+    (< ¼ of default parallelism), so a 100 TB many-file table passes
+    through untouched and no shuffle is added at scale; the shuffled
+    bytes here are the raw doc rows, strictly smaller than the exploded
+    stream they unblock.  Row placement never affects results (all
+    consumers aggregate by key)."""
+    sc = docs.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        n = docs.rdd.getNumPartitions()
+    except Exception:  # plans that cannot cheaply expose an RDD
+        return docs
+    if n * 4 >= target:
+        return docs
+    return docs.repartition(target)
+
+
 def _shingle_rows(docs: DataFrame, n: int = 3, hashed: bool = False) -> DataFrame:
     """Pre-``distinct`` shingle rows — :func:`shingles` without the
     per-(doc, shingle) dedup, for consumers whose aggregation dedups
     anyway (the grouped inverted-index path below)."""
+    docs = _spread_input(docs)
     toks = normalize(F.col("text"))
     parts = ", ".join(f"element_at(t, i + {j})" for j in range(n))
     # guard short docs explicitly: sequence(1, 0) DESCENDS in Spark
@@ -320,10 +347,17 @@ def minhash_signatures(
 
     ``shingle_rel`` lets a caller that already materialized the
     (doc_id, shingle) relation share it instead of re-deriving the
-    normalize+explode scan (``minhash_lsh_pairs`` passes its
-    checkpointed verify-stage relation).
+    normalize+explode scan.
+
+    The default path aggregates the NON-distinct shingle stream
+    (r11): ``min`` is duplicate-invariant, so the per-(doc, shingle)
+    dedup is unnecessary here — and skipping it keeps the 16 salted
+    md5s on the map side of the one aggregation exchange, where they
+    parallelize across the scan/spread partitions instead of running
+    on the handful of AQE-coalesced post-distinct partitions
+    (measured 2.5 → 0.8 s for the signature stage at sf0.1).
     """
-    sh = shingles(docs, n) if shingle_rel is None else shingle_rel
+    sh = _shingle_rows(docs, n) if shingle_rel is None else shingle_rel
     hashed = sh.select(
         "doc_id",
         *[
@@ -397,7 +431,7 @@ def minhash_cross_corpus_pairs(
     r = num_hashes // bands
     is_eval = F.col("doc_id") % eval_mod == 0
     sh = shingles(docs, n).localCheckpoint(eager=True)
-    sig = minhash_signatures(docs, num_hashes, n, shingle_rel=sh)
+    sig = minhash_signatures(docs, num_hashes, n)
     band_rows = _band_rows(sig, num_hashes, bands)
     key = ["band"] + [f"b{j}" for j in range(r)]
     train = band_rows.filter(~is_eval).withColumnRenamed("doc_id", "train_doc_id")
@@ -459,14 +493,15 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    # ONE shingle scan feeds both stages (signatures + verify) and,
-    # within the verify stage, all three consumers (sizes, s1, s2):
-    # materialize it once instead of re-running normalize+md5+explode
-    # per consumer — the same discipline ngram_jaccard_pairs measured
-    # wins from (2.07→1.73 s at sf0.1).  On a memory-constrained
-    # cluster swap for persist(DISK_ONLY).
+    # The checkpointed DISTINCT relation feeds the verify stage (sizes
+    # + both candidate-bounded joins); the signature aggregate instead
+    # re-derives the non-distinct stream so its 16 md5s stay on the
+    # map side of its own exchange (see minhash_signatures — the
+    # checkpointed relation is AQE-coalesced to a couple of partitions,
+    # which serialized the hashing).  On a memory-constrained cluster
+    # swap for persist(DISK_ONLY).
     sh = shingles(docs, n).localCheckpoint(eager=True)
-    sig = minhash_signatures(docs, num_hashes, n, shingle_rel=sh)
+    sig = minhash_signatures(docs, num_hashes, n)
     band_rows = _band_rows(sig, num_hashes, bands)
     key = ["band"] + [f"b{j}" for j in range(r)]
     a = band_rows.select(F.col("doc_id").alias("doc_id_1"), *key)
@@ -517,6 +552,7 @@ def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
     sums — a single shuffle, codegen-friendly, portable to the oracle
     (same md5-derived hash).
     """
+    docs = _spread_input(docs)
     tok = (
         docs.select("doc_id", F.explode(tokens(normalize(F.col("text")))).alias("tok"))
         .withColumn("h", _portable_hash(F.col("tok"), 0))
@@ -683,6 +719,7 @@ def simhash_candidates(
 
 def simhash_bits(docs: DataFrame, bits: int = 64) -> DataFrame:
     """Per-doc simhash as individual bit columns (internal)."""
+    docs = _spread_input(docs)
     tok = (
         docs.select("doc_id", F.explode(tokens(normalize(F.col("text")))).alias("tok"))
         .withColumn("h", _portable_hash(F.col("tok"), 0))
@@ -760,7 +797,9 @@ def connected_components(
             )
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            # lazy: the n_part count() below is the materializing action
+            # (one job instead of checkpoint-job + count-job, r11)
+            .localCheckpoint(eager=False)
         )
         # iterative rounds over a label/edge set sized ∝ nodes: per-round
         # fixed cost scales with shuffle-partition count, so size the
@@ -789,7 +828,8 @@ def connected_components(
         .union(edges.select(F.col(right).alias("src"), F.col(left).alias("dst")))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=True)  # reused every round: compute edges once
+        # lazy checkpoint: round 1 materializes it; reused every round
+        .localCheckpoint(eager=False)
     )
     labels = (
         sym.select(F.col("src").alias("node"))
@@ -810,7 +850,9 @@ def connected_components(
                 F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
                 (F.col("nbr_min") < F.col("label")).alias("changed"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: the n_changed count below materializes it (one job
+            # per round instead of two, r11)
+            .localCheckpoint(eager=False)
         )
         n_changed = stepped.filter(F.col("changed")).count()
         labels = stepped.drop("changed")
@@ -907,7 +949,9 @@ def _cc_star_labels(e: DataFrame, max_iter: int) -> DataFrame:
             .select("s.u", "s.v")
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            # lazy: the n_part count() below is the materializing action
+            # (one job instead of checkpoint-job + count-job, r11)
+            .localCheckpoint(eager=False)
         )
         cur = checksum(small)
         e = small
@@ -1079,7 +1123,7 @@ def suffix_run_classes(docs: DataFrame, width: int) -> DataFrame:
     if width < 1 or width & (width - 1):
         raise ValueError(f"suffix_run_classes: width must be a power of two, got {width}")
     if width <= _DIRECT_RUN_WIDTH_MAX:
-        toks = docs.select("doc_id", tokens(normalize(F.col("text"))).alias("t"))
+        toks = _spread_input(docs).select("doc_id", tokens(normalize(F.col("text"))).alias("t"))
         expr = (
             f"case when size(t) >= {width} then"
             f" transform(sequence(1, size(t) - {width - 1}),"
@@ -1087,7 +1131,7 @@ def suffix_run_classes(docs: DataFrame, width: int) -> DataFrame:
             f" else cast(array() as array<bigint>) end"
         )
         return toks.select("doc_id", F.posexplode(F.expr(expr)).alias("pos", "cls"))
-    toks = docs.select(
+    toks = _spread_input(docs).select(
         "doc_id", F.posexplode(tokens(normalize(F.col("text")))).alias("pos", "tok")
     )
     r = toks.select("doc_id", "pos", F.xxhash64("tok").alias("cls"))
