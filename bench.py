@@ -229,6 +229,16 @@ ISOLATE_DEFAULT = [
     "dedup_simhash",
     "dedup_semdedup",
     "dedup_substring_exact",
+    # round 11 (optimization round): the two Python-DataSource entries
+    # are bimodal in-session (write_roundtrip 1.16/2.41/1.26 s on a
+    # min-of-3 idle re-measure vs a 0.955 s pin — the 2.4-2.9 s mode
+    # manufactured the only [real]-classified breach of an otherwise
+    # clean run; stream_agg showed the same fingerprint drifting
+    # 3.9→5.7 s across same-code runs).  min(in-session, fresh-process)
+    # is the same mechanism that closed the BLAS and shingle cohorts in
+    # r9/r10.
+    "pysource_write_roundtrip",
+    "pysource_stream_agg",
 ]
 
 

@@ -612,52 +612,96 @@ def simhash_pairs(
     side instead of 64 ints and compute ``Σ bit_count(xor)``, which is
     bit-identical to the 64-column comparison (the chunks partition the
     bit vector)."""
-    chunks = 4
     packed = _simhash_chunks(docs, bits).localCheckpoint(eager=True)
     cand = simhash_candidates(
         docs, bits=bits, max_bucket_freq=max_bucket_freq, _chunks_df=packed
     )
-    b1 = packed.select(
-        F.col("doc_id").alias("doc_id_1"),
-        *[F.col(f"c{c}").alias(f"p{c}") for c in range(chunks)],
-    )
-    b2 = packed.select(
-        F.col("doc_id").alias("doc_id_2"),
-        *[F.col(f"c{c}").alias(f"q{c}") for c in range(chunks)],
-    )
-    hamming = sum(
-        F.bit_count(F.col(f"p{c}").bitwiseXOR(F.col(f"q{c}"))) for c in range(chunks)
-    )
+    s1 = packed.select(F.col("doc_id").alias("doc_id_1"), F.col("sig").alias("sig1"))
+    s2 = packed.select(F.col("doc_id").alias("doc_id_2"), F.col("sig").alias("sig2"))
     return (
-        cand.join(b1, on="doc_id_1")
-        .join(b2, on="doc_id_2")
-        .withColumn("hamming", hamming)
+        cand.join(s1, on="doc_id_1")
+        .join(s2, on="doc_id_2")
+        .withColumn("hamming", F.bit_count(F.col("sig1").bitwiseXOR(F.col("sig2"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_id_1", "doc_id_2", "hamming")
     )
 
 
+def _simhash_sig(docs: DataFrame, bits: int = 64) -> DataFrame:
+    """``(doc_id, sig)``: the whole simhash packed into ONE long —
+    bit b of ``sig`` is set iff Σ_tokens(±1 for bit b of the token
+    hash) is positive, the exact per-bit rule of :func:`simhash_bits`.
+
+    Built LONG-form (r11): per token, one ``transform`` emits the
+    ``bits`` signed contributions, ``posexplode`` keys them by bit, and
+    two narrow aggregations (per-(doc, bit) sum → per-doc bit-OR via a
+    sum of distinct powers of two, which cannot carry) produce the
+    signature.  The previous wide form — one aggregation with ``bits``
+    conditional-sum expressions plus ``bits`` projections — cost ~1.5 s
+    of DRIVER plan optimization per invocation at 64 bits (measured
+    with explain-only timing), dwarfing its own execution; the
+    long-form plan has a handful of expressions regardless of ``bits``.
+    Shuffle volume is unchanged: the per-(doc, bit) partial aggregation
+    emits ≤ ``bits`` rows per doc per map partition, the same bytes the
+    wide row carried in ``bits`` columns."""
+    docs = _spread_input(docs)
+    tok = docs.select(
+        "doc_id", F.explode(tokens(normalize(F.col("text")))).alias("tok")
+    ).select("doc_id", _portable_hash(F.col("tok"), 0).alias("h"))
+    long_form = tok.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bits - 1}),"
+                f" b -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)"
+            )
+        ).alias("b", "sgn"),
+    )
+    sums = long_form.groupBy("doc_id", "b").agg(F.sum("sgn").alias("s"))
+    return sums.groupBy("doc_id").agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b)"
+                " ELSE CAST(0 AS BIGINT) END"
+            )
+        ).alias("sig")
+    )
+
+
 def _simhash_chunks(
-    docs: DataFrame, bits: int = 64, _bits_df: DataFrame | None = None
+    docs: DataFrame,
+    bits: int = 64,
+    _bits_df: DataFrame | None = None,
+    _sig_df: DataFrame | None = None,
 ) -> DataFrame:
-    """``(doc_id, c0..c3)``: the simhash packed into 4 chunk values of
-    ``bits/4`` bits each (chunk c covers bits [c·w, (c+1)·w), bit j
-    worth 2^j) — the narrow carrier both pair stages consume.  Chunk
-    values are identical to the ones the pre-r11 union-branch form
-    computed, so candidate semantics are unchanged; Hamming distance is
-    recovered exactly as Σ_c bit_count(c_a XOR c_b)."""
-    sums_bits = _bits_df if _bits_df is not None else simhash_bits(docs, bits)
+    """``(doc_id, sig, c0..c3)``: the packed signature plus its 4 chunk
+    values of ``bits/4`` bits each (chunk c covers bits [c·w, (c+1)·w),
+    bit j worth 2^j) — the narrow carrier both pair stages consume.
+    Chunk values are bit-field extractions of ``sig`` and identical to
+    the ones the pre-r11 union-branch form computed, so candidate
+    semantics are unchanged; Hamming distance is recovered exactly as
+    ``bit_count(sig_a XOR sig_b)``."""
     chunks = 4
     width = bits // chunks
-    return sums_bits.select(
-        "doc_id",
-        *[
-            sum(
-                F.when(F.col(f"bit{c * width + j}") == 1, F.lit(2**j)).otherwise(
-                    F.lit(0)
+    mask = (1 << width) - 1
+    if _bits_df is not None:
+        base = _bits_df.select(
+            "doc_id",
+            F.expr(
+                " + ".join(
+                    f"CASE WHEN bit{b} = 1 THEN shiftleft(CAST(1 AS BIGINT), {b})"
+                    f" ELSE CAST(0 AS BIGINT) END"
+                    for b in range(bits)
                 )
-                for j in range(width)
-            ).alias(f"c{c}")
+            ).alias("sig"),
+        )
+    else:
+        base = _sig_df if _sig_df is not None else _simhash_sig(docs, bits)
+    return base.select(
+        "doc_id",
+        "sig",
+        *[
+            F.expr(f"shiftright(sig, {c * width}) & {mask}").alias(f"c{c}")
             for c in range(chunks)
         ],
     )
@@ -718,7 +762,23 @@ def simhash_candidates(
 
 
 def simhash_bits(docs: DataFrame, bits: int = 64) -> DataFrame:
-    """Per-doc simhash as individual bit columns (internal)."""
+    """Per-doc simhash as individual bit columns (compat shim over
+    :func:`_simhash_sig`, r11 — callers wanting the whole signature
+    should prefer the packed long)."""
+    sig = _simhash_sig(docs, bits)
+    return sig.select(
+        "doc_id",
+        *[
+            F.expr(f"CAST(shiftright(sig, {b}) & 1 AS INT)").alias(f"bit{b}")
+            for b in range(bits)
+        ],
+    )
+
+
+def _simhash_bits_wide(docs: DataFrame, bits: int = 64) -> DataFrame:
+    """Pre-r11 wide-aggregation form of :func:`simhash_bits` (one
+    aggregation with ``bits`` conditional sums) — retained for A/B
+    measurement; identical output."""
     docs = _spread_input(docs)
     tok = (
         docs.select("doc_id", F.explode(tokens(normalize(F.col("text")))).alias("tok"))

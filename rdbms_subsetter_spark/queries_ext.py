@@ -222,10 +222,18 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-char bit string of the simhash, LSB (bit 0) first — unchanged
+    output; r11 derives it from the packed one-long signature
+    (``bin`` prints the 64-bit two's-complement MSB-first, so
+    ``reverse(lpad(...))`` is exactly the bit0-first concatenation the
+    per-bit-column form produced, in 3 expressions instead of 128 —
+    the wide form spent ~1.5 s per run in plan optimization alone)."""
     cat = Catalog(spark, sf_dir)
-    sig = dedup.simhash_bits(cat["documents"], bits=64)
-    bitstr = F.concat(*[F.col(f"bit{b}").cast("string") for b in range(64)])
-    return sig.select("doc_id", bitstr.alias("simhash_bits"))
+    sig = dedup._simhash_sig(cat["documents"], bits=64)
+    return sig.select(
+        "doc_id",
+        F.reverse(F.lpad(F.bin("sig"), 64, "0")).alias("simhash_bits"),
+    )
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
