@@ -370,6 +370,38 @@ def minhash_signatures(
     )
 
 
+def _minhash_shared_rels(
+    docs: DataFrame, num_hashes: int, n: int, checkpoint_sig: bool = False
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The three relations every minhash LSH pipeline consumes —
+    ``(raw shingle stream, signatures, distinct shingle relation)`` —
+    derived from ONE normalize+tokenize+explode scan (r12, VERDICT r11
+    task 1; guide §2.4 remove duplicate subtree work).
+
+    The r11 shape derived the shingle stream TWICE per query: once for
+    the checkpointed distinct verify relation and once (non-distinct)
+    for the signature aggregate, so every run paid two full
+    normalize/explode scans and re-hashed every duplicate shingle; the
+    driver's r11 run regressed ``dedup_minhash_cross_corpus`` 2× on
+    exactly that path.  Here the NON-distinct stream is materialized
+    once (``localCheckpoint`` preserves the spread scan partitioning,
+    so the 16 salted md5s still run parallel across those partitions —
+    the property the r11 non-distinct change existed to get); the
+    signature aggregate and the verify-side ``distinct`` both read the
+    materialized stream.  Signatures are ALSO checkpointed: the band
+    explode feeds two join sides (self-join / train×eval), which would
+    otherwise replay the 16-md5 aggregation per side.  On a
+    memory-constrained cluster swap the checkpoints for
+    ``persist(DISK_ONLY)`` — the raw stream is ~tokens×1 the corpus
+    size, the other two are strictly smaller."""
+    raw = _shingle_rows(docs, n).localCheckpoint(eager=True)
+    sig = minhash_signatures(docs, num_hashes, n, shingle_rel=raw)
+    if checkpoint_sig:
+        sig = sig.localCheckpoint(eager=True)
+    sh = raw.distinct()
+    return raw, sig, sh
+
+
 def _band_rows(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """Long-form banded signature rows (doc_id, band, b0..b{r-1}) —
     shared by the self-join and cross-corpus LSH paths.  One ``explode``
@@ -430,8 +462,7 @@ def minhash_cross_corpus_pairs(
     assert num_hashes % bands == 0
     r = num_hashes // bands
     is_eval = F.col("doc_id") % eval_mod == 0
-    sh = shingles(docs, n).localCheckpoint(eager=True)
-    sig = minhash_signatures(docs, num_hashes, n)
+    _, sig, sh = _minhash_shared_rels(docs, num_hashes, n, checkpoint_sig=True)
     band_rows = _band_rows(sig, num_hashes, bands)
     key = ["band"] + [f"b{j}" for j in range(r)]
     train = band_rows.filter(~is_eval).withColumnRenamed("doc_id", "train_doc_id")
@@ -493,15 +524,7 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    # The checkpointed DISTINCT relation feeds the verify stage (sizes
-    # + both candidate-bounded joins); the signature aggregate instead
-    # re-derives the non-distinct stream so its 16 md5s stay on the
-    # map side of its own exchange (see minhash_signatures — the
-    # checkpointed relation is AQE-coalesced to a couple of partitions,
-    # which serialized the hashing).  On a memory-constrained cluster
-    # swap for persist(DISK_ONLY).
-    sh = shingles(docs, n).localCheckpoint(eager=True)
-    sig = minhash_signatures(docs, num_hashes, n)
+    _, sig, sh = _minhash_shared_rels(docs, num_hashes, n)
     band_rows = _band_rows(sig, num_hashes, bands)
     key = ["band"] + [f"b{j}" for j in range(r)]
     a = band_rows.select(F.col("doc_id").alias("doc_id_1"), *key)
