@@ -56,6 +56,23 @@ def with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
 #: refusing genuinely unbounded query sides.
 MAX_QUERY_VECTORS = 200_000
 
+#: Upper bound on blocked-kNN grid cells per task (r12, ADVICE r11):
+#: one packed cell row is ~4 MB at the 4096-row default block size, so
+#: 8 cells bound a task's Arrow input at ~32 MB regardless of corpus
+#: size while still amortizing the Python-worker round trip.
+_GRID_CELLS_PER_TASK = 8
+
+
+def _grid_partitions(n_blocks: int, parallelism: int) -> int:
+    """Partition count for the B×B blocked-kNN grid: one wave of
+    fat tasks at small B², bounded cells-per-task at large B²
+    (see the comment at the repartition site)."""
+    cells = n_blocks * n_blocks
+    return min(
+        cells,
+        max(2 * parallelism, 64, -(-cells // _GRID_CELLS_PER_TASK)),
+    )
+
 
 def _bounded_query_rows(queries: DataFrame, op: str) -> list:
     rows = queries.select("vec_id", "embedding").limit(MAX_QUERY_VECTORS + 1).collect()
@@ -254,19 +271,23 @@ def cosine_topk_blocked(
         F.col("ids").alias("c_ids"),
         F.col("vecs").alias("c_vecs"),
     )
-    # Spread the B² grid cells over min(B², max(2×parallelism, 64))
-    # partitions instead of a fixed B² (r11, guide §2.2 "fewer, larger
-    # partitions"): at small B² one task per cell is pure scheduling +
+    # Spread the B² grid cells over min(B², max(2×parallelism, 64,
+    # ⌈B²/cells-per-task⌉)) partitions instead of a fixed B² (r11,
+    # guide §2.2 "fewer, larger partitions"; cells-per-task floor r12,
+    # ADVICE r11): at small B² one task per cell is pure scheduling +
     # Python-worker overhead (sf0.1's 256 cells held ~2 MB each), while
-    # at large B² capping the partition count keeps one wave of tasks
-    # with a handful of cells each — the kernel streams cells row by
-    # row, so peak task memory stays two blocks + one score matrix per
-    # CELL (unchanged); cells per partition only add Arrow batch bytes
-    # (~4 MB/cell at the 4096 default).  Hash keys (cblk, q_ids[0])
-    # unchanged → same cell-to-partition determinism properties.
-    n_part = min(
-        n_blocks * n_blocks,
-        max(2 * corpus.sparkSession.sparkContext.defaultParallelism, 64),
+    # at large B² the ⌈B²/cells-per-task⌉ term bounds how many packed
+    # ~4 MB cell rows land in one partition — without it, cells per
+    # partition grew as B²/(2×parallelism) with corpus size, and one
+    # Arrow batch (default 10k records) could deliver thousands of
+    # packed-block rows to a single pandas DataFrame, breaking the
+    # "peak task memory is two blocks + one score matrix" contract.
+    # With the floor, one partition holds ≤ _GRID_CELLS_PER_TASK cells
+    # (≈ 32 MB of packed rows), whatever the corpus size.  The kernel
+    # itself still streams cells row by row.  Hash keys
+    # (cblk, q_ids[0]) unchanged → same cell-to-partition determinism.
+    n_part = _grid_partitions(
+        n_blocks, corpus.sparkSession.sparkContext.defaultParallelism
     )
     grid = qside.join(cside, on="cblk").repartition(
         n_part, "cblk", F.col("q_ids")[0]
