@@ -418,23 +418,74 @@ def main() -> None:
     with open(REPO / "BENCH_DETAIL.json", "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
 
+    print(_summary_line(timings, total, float(sf), len(errors)))
+
+
+def _summary_line(
+    timings: dict[str, float], total, sf: float, n_errors: int
+) -> str:
+    """The ONE JSON line the driver captures.  It cannot hold all
+    entries (the driver keeps the LAST 2000 bytes of stdout; the full
+    battery at full precision is ~4.5 KB — the r01 full dump graded as
+    unparseable), so the full map lives in BENCH_DETAIL.json
+    (`queries_file`).  Two r12 changes (VERDICT r11 item 5 "reporting
+    blind spot") squeeze the byte budget so membership churn stops
+    corrupting the driver's round-over-round diff:
+
+    * compact separators + 2-decimal rounding on THIS LINE ONLY
+      (BENCH_DETAIL.json keeps 3 decimals) — fits ~25% more entries;
+    * every query printed by the PREVIOUS round's captured line
+      (highest BENCH_r<NN>.json in the repo) is included FIRST, so an
+      entry that merely got faster can never leave the printed set and
+      read as "dropped_from_bench"; only after the carried set fits
+      does the remaining budget admit the current slowest.
+    """
     summary = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
-        "sf": float(sf),
+        "sf": sf,
         "n_queries": len(timings),
-        "n_errors": len(errors),
+        "n_errors": n_errors,
         "queries_file": "BENCH_DETAIL.json",
         "queries": {},
     }
-    budget = 1800
-    for name in sorted(timings, key=timings.get, reverse=True):
-        summary["queries"][name] = timings[name]
-        if len(json.dumps(summary)) > budget:
+    carried = _prev_round_printed()
+    candidates = sorted(timings, key=timings.get, reverse=True)
+    ordered = [n for n in candidates if n in carried] + [
+        n for n in candidates if n not in carried
+    ]
+    budget = 1900  # line + newline must sit inside the 2000-byte capture
+    compact = {"separators": (",", ":")}
+    for name in ordered:
+        summary["queries"][name] = round(timings[name], 2)
+        if len(json.dumps(summary, **compact)) > budget:
             del summary["queries"][name]
             break
-    print(json.dumps(summary))
+    return json.dumps(summary, **compact)
+
+
+def _prev_round_printed() -> set[str]:
+    """Query names on the previous round's captured bench line — the
+    `parsed.queries` keys of the highest-numbered BENCH_r<NN>.json
+    committed in the repo (the driver's own record of what it read).
+    Best-effort: an unreadable or absent file just means no carry."""
+    best, names = -1, set()
+    for p in REPO.glob("BENCH_r[0-9][0-9].json"):
+        try:
+            n = int(p.stem.split("_r")[-1])
+        except ValueError:
+            continue
+        if n <= best:
+            continue
+        try:
+            parsed = json.load(open(p)).get("parsed") or {}
+            qs = parsed.get("queries") or {}
+        except Exception:
+            continue
+        if qs:
+            best, names = n, set(qs)
+    return names
 
 
 if __name__ == "__main__":

@@ -212,6 +212,80 @@ def test_isolate_names_parses_ast():
     assert "dedup_minhash_lsh" in bench_gate._isolate_names(bench_src)
 
 
+def test_tripwire_fails_consecutive_normalized_breach(
+    tmp_path, monkeypatch, capsys
+):
+    """A normalized ratio > tripwire in two consecutive committed runs
+    is a real breach even though each run alone would classify warn /
+    ambient (VERDICT r11 task 8: the canary-free backstop)."""
+    hist = {n: {"first": 1.0, "first_commit": "aaaa", "min": 1.0} for n in
+            [*bench_gate.CANARIES[:5], "q_heavy"]}
+    monkeypatch.setattr(
+        bench_gate, "HISTORY", _write(tmp_path, "BENCH_HISTORY.json", hist)
+    )
+    monkeypatch.setattr(bench_gate, "REPINS", tmp_path / "BENCH_REPINS.json")
+    monkeypatch.setattr(bench_gate, "REPORT", tmp_path / "BENCH_GATE_REPORT.json")
+    # canaries flat (host_factor 1.0); q_heavy at 1.8x normalized — under
+    # the 2.0 gate, so a single run is only a warn
+    now = {n: 1.0 for n in bench_gate.CANARIES[:5]}
+    now["q_heavy"] = 1.8
+    monkeypatch.setattr(
+        bench_gate,
+        "DETAIL",
+        _write(tmp_path, "BENCH_DETAIL.json", {"sf": 0.1, "queries": now}),
+    )
+    prev = dict(now, q_heavy=1.7)  # previous committed run also > 1.5x
+
+    def fake_git(*args):
+        if args[0] == "log":
+            return "prevsha"
+        if args[0] == "show":
+            return json.dumps({"sf": 0.1, "queries": prev})
+        raise AssertionError(args)
+
+    monkeypatch.setattr(bench_gate, "_git", fake_git)
+    assert _check() == 1
+    report = json.load(open(bench_gate.REPORT))
+    assert report["verdict"] == "FAIL"
+    assert report["consecutive_breaches"] == ["q_heavy"]
+    heavy = next(f for f in report["findings"] if f["query"] == "q_heavy")
+    assert heavy["classification"] == "real"
+    # a single-run breach (no prior committed breach) stays non-fatal
+    monkeypatch.setattr(
+        bench_gate, "_git", lambda *a: "" if a[0] == "log" else "{}"
+    )
+    assert _check() == 0
+
+
+def test_tripwire_skips_identical_committed_run(tmp_path, monkeypatch):
+    """The committed copy of the CURRENT run must not count as the
+    'previous' run — the tripwire needs two distinct runs."""
+    hist = {n: {"first": 1.0, "first_commit": "aaaa", "min": 1.0} for n in
+            [*bench_gate.CANARIES[:5], "q_heavy"]}
+    monkeypatch.setattr(
+        bench_gate, "HISTORY", _write(tmp_path, "BENCH_HISTORY.json", hist)
+    )
+    monkeypatch.setattr(bench_gate, "REPINS", tmp_path / "BENCH_REPINS.json")
+    monkeypatch.setattr(bench_gate, "REPORT", tmp_path / "BENCH_GATE_REPORT.json")
+    now = {n: 1.0 for n in bench_gate.CANARIES[:5]}
+    now["q_heavy"] = 1.8
+    monkeypatch.setattr(
+        bench_gate,
+        "DETAIL",
+        _write(tmp_path, "BENCH_DETAIL.json", {"sf": 0.1, "queries": now}),
+    )
+
+    def fake_git(*args):
+        if args[0] == "log":
+            return "samesha"
+        if args[0] == "show":
+            return json.dumps({"sf": 0.1, "queries": now})  # identical
+        raise AssertionError(args)
+
+    monkeypatch.setattr(bench_gate, "_git", fake_git)
+    assert _check() == 0
+
+
 def test_protocol_detection(monkeypatch):
     sources = {
         "old": "def main(): pass\n",

@@ -187,3 +187,29 @@ def test_grid_partitions_bounds_cells_per_task():
             # the contract: no partition needs to hold more than the
             # cells-per-task cap on average
             assert cells / n_part <= _GRID_CELLS_PER_TASK + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# bench summary line: previous round's printed set carries over
+# ---------------------------------------------------------------------------
+
+
+def test_bench_summary_carries_previous_round_printed_set():
+    """The one-line summary must include every query the previous
+    round's captured line printed (so an entry that merely improved can
+    never read as dropped_from_bench), stay within the byte budget, and
+    the real repo's previous-round set must be discoverable."""
+    import json
+
+    import bench
+
+    carried = bench._prev_round_printed()
+    assert len(carried) >= 50  # BENCH_r11.json printed 53
+    detail = json.load(open(bench.REPO / "BENCH_DETAIL.json"))
+    timings = {
+        k: v for k, v in detail["queries"].items() if isinstance(v, (int, float))
+    }
+    line = bench._summary_line(timings, round(sum(timings.values()), 3), 0.1, 0)
+    assert len(line) < 2000  # the driver captures the LAST 2000 bytes
+    printed = set(json.loads(line)["queries"])
+    assert carried & set(timings) <= printed

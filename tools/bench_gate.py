@@ -44,6 +44,15 @@ about: a UNIFORM shift of the whole battery (median ratio moves with
 the outliers → ambient host drift; document it, don't chase code) vs an
 ISOLATED outlier (median stays put → a real per-query regression;
 re-measure min-of-3 and root-cause before believing it).
+
+* **Consecutive-breach tripwire** (round 12, VERDICT r11 task 8): the
+  canaries can classify any single sub-ceiling breach as ambient, so a
+  real regression between the gate and the ceiling could in principle
+  hide behind host noise indefinitely.  An entry whose NORMALIZED
+  ratio exceeds ``--tripwire`` (default 1.5×) in BOTH the current run
+  and the most recent committed run with different timings fails the
+  gate regardless of host factor — the host factor is already divided
+  out, and two runs in a row is not weather.
 """
 
 from __future__ import annotations
@@ -242,7 +251,48 @@ def repin(name: str, note: str, value: float | None = None) -> int:
     return 0
 
 
-def check(warn: float, gate: float, ceiling: float) -> int:
+def _normalized_ratios(
+    queries: dict, hist: dict[str, dict]
+) -> tuple[dict[str, float], float]:
+    """(per-query normalized ratio, host_factor) for one run's timings
+    against the pinned history — the same canary-median normalization
+    ``check`` applies to the current run, reusable for past runs."""
+    raw = {
+        n: sec / max(hist[n]["first"], 1e-3)
+        for n, sec in queries.items()
+        if isinstance(sec, (int, float)) and n in hist
+    }
+    canary = [raw[n] for n in CANARIES if n in raw]
+    host = median(canary) if canary else 1.0
+    div = max(1.0, host)
+    return {n: r / div for n, r in raw.items()}, host
+
+
+def _prev_committed_detail(current_queries: dict) -> dict:
+    """Timings of the most recent COMMITTED bench run that differs from
+    the current BENCH_DETAIL.json — the other half of the
+    consecutive-breach tripwire.  Walks commits of BENCH_DETAIL.json
+    newest-first and returns the first same-sf run whose `queries` map
+    is not identical to the current one (the current detail may or may
+    not be committed yet).  Empty dict when there is none."""
+    try:
+        commits = _git(
+            "log", "--format=%H", "--", "BENCH_DETAIL.json"
+        ).split()
+    except subprocess.CalledProcessError:
+        return {}
+    for sha in commits:
+        try:
+            blob = json.loads(_git("show", f"{sha}:BENCH_DETAIL.json"))
+        except (subprocess.CalledProcessError, json.JSONDecodeError):
+            continue
+        qs = blob.get("queries", {})
+        if blob.get("sf") == 0.1 and qs and qs != current_queries:
+            return qs
+    return {}
+
+
+def check(warn: float, gate: float, ceiling: float, tripwire: float = 1.5) -> int:
     if not HISTORY.exists():
         print("no BENCH_HISTORY.json — run `rebuild` first", file=sys.stderr)
         return 2
@@ -269,6 +319,18 @@ def check(warn: float, gate: float, ceiling: float) -> int:
     med = median(ratios.values())
     med_norm = med / norm_div
     worst = sorted(ratios.items(), key=lambda kv: -kv[1])
+
+    # Canary-free tripwire (r12, VERDICT r11 task 8): normalization can
+    # excuse a one-off raw breach as ambient, but an entry whose
+    # NORMALIZED ratio exceeds `tripwire` in two consecutive committed
+    # runs is failing after the host factor is already divided out —
+    # two runs in a row is not weather.  This closes the window where a
+    # real sub-ceiling regression could hide behind ambient
+    # classification forever.
+    prev_norm, _ = _normalized_ratios(
+        _prev_committed_detail(detail.get("queries", {})), hist
+    )
+    trip_prev = {n for n, r in prev_norm.items() if r > tripwire}
     print(
         f"{len(ratios)} queries vs first-recorded: median ratio {med:.2f} "
         f"(normalized {med_norm:.2f}), host_factor {host_factor:.2f} from "
@@ -278,12 +340,16 @@ def check(warn: float, gate: float, ceiling: float) -> int:
 
     flagged = [(n, r) for n, r in worst if r > warn]
     findings: list[dict] = []
+    consecutive: list[str] = []
     for n, r in flagged:
         norm = r / norm_div
         if r > ceiling:
             cls = "real"  # over the absolute ceiling: never excusable
         elif norm > gate:
             cls = "real"
+        elif norm > tripwire and n in trip_prev:
+            cls = "real"  # consecutive normalized breach: not weather
+            consecutive.append(n)
         elif r > gate:
             cls = "ambient"  # raw-only breach, normalized is clean
         else:
@@ -317,6 +383,8 @@ def check(warn: float, gate: float, ceiling: float) -> int:
         "gate": gate,
         "warn": warn,
         "ceiling": ceiling,
+        "tripwire": tripwire,
+        "consecutive_breaches": consecutive,
         "n_queries": len(ratios),
         "median_ratio_raw": round(med, 3),
         "median_ratio_normalized": round(med_norm, 3),
@@ -334,7 +402,8 @@ def check(warn: float, gate: float, ceiling: float) -> int:
 
     if real:
         print(
-            f"GATE BREACH (normalized > {gate}x or raw > {ceiling}x): {real}",
+            f"GATE BREACH (normalized > {gate}x, raw > {ceiling}x, or "
+            f"normalized > {tripwire}x twice consecutively): {real}",
             file=sys.stderr,
         )
         return 1
@@ -360,6 +429,12 @@ def main() -> int:
         default=4.0,
         help="absolute raw-ratio ceiling that canary normalization can never excuse",
     )
+    p.add_argument(
+        "--tripwire",
+        type=float,
+        default=1.5,
+        help="normalized ratio that fails when breached in two consecutive committed runs",
+    )
     p.add_argument("--note", default="", help="repin annotation (required for repin)")
     p.add_argument("--value", type=float, default=None, help="explicit repin seconds")
     a = p.parse_args()
@@ -371,7 +446,7 @@ def main() -> int:
             print("repin requires NAME and --note", file=sys.stderr)
             return 2
         return repin(a.name, a.note, a.value)
-    return check(a.warn, a.gate, a.ceiling)
+    return check(a.warn, a.gate, a.ceiling, a.tripwire)
 
 
 if __name__ == "__main__":
