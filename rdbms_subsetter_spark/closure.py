@@ -26,10 +26,17 @@ fixpoint iteration is one Spark job; key sets are ``localCheckpoint``-ed
 per iteration to stop lineage growth (the real scale risk of iterative
 Spark); the final materialization is one ``left_semi`` join per table,
 which AQE turns into a broadcast join whenever the key set is small.
+Above :data:`CLOSURE_MATERIALIZE_BYTES` of input the engine
+additionally materializes each table's merged key set ONCE per closure
+pass (lazy ``localCheckpoint`` + topological-wave forcing), so
+downstream consumers — every FK edge of the integrity check, every
+summary count branch — reuse one computed relation instead of
+replaying the closure subtree per branch.
 """
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Window, functions as F
@@ -37,6 +44,35 @@ from pyspark.sql import DataFrame, Window, functions as F
 from rdbms_subsetter_spark.catalog import Catalog
 from rdbms_subsetter_spark.constraints import ConstraintRegistry, ForeignKey
 from rdbms_subsetter_spark.sampling import SamplePlan, sample_exact_n
+
+#: Input-size threshold (bytes) above which the engine materializes
+#: each table's merged key set once (lazy ``localCheckpoint`` + a
+#: topological-wave forcing pass) instead of letting every downstream
+#: branch replay the closure subtree.  The two shapes return identical
+#: results; which is faster depends on scale:
+#:
+#: * BELOW the threshold (the sf0.1 bench and every test SF) the
+#:   replayed-subtree plan wins: recompute is cheap, the branches run
+#:   concurrently inside one job across all cores, and each
+#:   materialization is a serializing driver action (~0.2 s fixed cost
+#:   × ~16 key sets ≈ the whole query's runtime — measured r11: eager
+#:   3.77→7.07 s, lazy →4.88 s; re-measured r12: lazy 4.6→8.6 s warm).
+#: * ABOVE it the replay is the scale-killer the r11 verdict flagged:
+#:   the flagship integrity plan executes ~139 parquet scans at
+#:   runtime (232 statically; AQE exchange reuse dedups only the
+#:   branches whose column pruning left them canonically identical),
+#:   i.e. each table's closure subtree — sampling windows, semi-join
+#:   chains — re-runs per FK edge.  Materializing each key set once
+#:   makes that O(#tables + #edges) scans total, at the cost of the
+#:   fixed per-action overhead that is noise at real scale.
+#:
+#: The crossover sits where one table scan costs about as much as a
+#: driver action round-trip; 16 GiB total input is a conservative
+#: floor for that on any real cluster.  Env-overridable for operators
+#: (and for forcing the scale shape in tests/plan dumps).
+CLOSURE_MATERIALIZE_BYTES = int(
+    os.environ.get("SPARK_GRAFT_CLOSURE_CKPT_BYTES", str(16 << 30))
+)
 
 
 def _key_cols(registry: ConstraintRegistry, catalog: Catalog, table: str) -> list[str]:
@@ -58,9 +94,29 @@ class SubsetResult:
 
 
 class ClosureEngine:
-    def __init__(self, catalog: Catalog, registry: ConstraintRegistry | None = None):
+    def __init__(
+        self,
+        catalog: Catalog,
+        registry: ConstraintRegistry | None = None,
+        materialize_keys: bool | None = None,
+    ):
+        """``materialize_keys``: materialize each table's merged key
+        set once per closure pass instead of replaying its subtree per
+        consumer branch.  Default ``None`` auto-selects by total input
+        size (see :data:`CLOSURE_MATERIALIZE_BYTES`) — False at every
+        test/bench SF, True at cluster scale."""
         self.catalog = catalog
         self.registry = registry or catalog.registry
+        if materialize_keys is None:
+            try:
+                materialize_keys = (
+                    catalog.total_input_bytes() > CLOSURE_MATERIALIZE_BYTES
+                )
+            except (OSError, AttributeError):
+                # stat failure, or a catalog stub without file backing
+                # (tests): replay shape — the conservative default
+                materialize_keys = False
+        self.materialize_keys = materialize_keys
 
     # ------------------------------------------------------------------
     def rows_for_keys(self, table: str, keys: DataFrame) -> DataFrame:
@@ -128,6 +184,9 @@ class ClosureEngine:
         reg = self.registry
         # contributions to parent tables not yet processed
         pending: dict[str, list[DataFrame]] = {}
+        # tables whose key set changed in THIS pass and was checkpointed
+        # (materialize_keys mode only) — forced in topo waves at the end
+        fresh: list[str] = []
 
         def merge(table: str) -> None:
             contribs = pending.pop(table, [])
@@ -137,7 +196,18 @@ class ClosureEngine:
             merged = dfs[0]
             for d in dfs[1:]:
                 merged = merged.unionByName(d)
-            keys[table] = merged.distinct() if len(dfs) > 1 else merged
+            if len(dfs) > 1:
+                merged = merged.distinct()
+            if self.materialize_keys and contribs:
+                # lazy: the wave-forcing pass below (or the first
+                # consumer) materializes it; every later branch reuses
+                # the persisted partitions instead of replaying this
+                # table's whole closure subtree.  Only plans that
+                # gained a contribution are new — an unchanged set
+                # keeps its existing (possibly checkpointed) plan.
+                merged = merged.localCheckpoint(eager=False)
+                fresh.append(table)
+            keys[table] = merged
 
         def emit(table: str, comp_set: set[str]) -> None:
             """Stash this table's parent-key requirements (outside its
@@ -194,7 +264,35 @@ class ClosureEngine:
             for table in comp:
                 if table in keys and table not in exclude:
                     emit(table, comp_set)
+        if fresh:
+            self._force_in_waves(keys, fresh)
         return keys
+
+    def _force_in_waves(self, keys: dict[str, DataFrame], fresh: list[str]) -> None:
+        """Materialize lazily-checkpointed key sets in topological
+        waves: consecutive tables with no FK between them share a wave
+        whose ``count()`` actions run from a small thread pool, so
+        their jobs overlap and back-fill each other's stragglers
+        (guide §2.6) instead of paying one serialized driver action
+        per table — the cost that sank the r11 eager-checkpoint
+        attempt.  ``fresh`` is in children-first merge order, which is
+        exactly dependency order for the contributions."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        fks = self.registry.fks
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            i = 0
+            while i < len(fresh):
+                wave = [fresh[i]]
+                i += 1
+                while i < len(fresh) and not any(
+                    (fk.table in wave and fk.ref_table == fresh[i])
+                    or (fk.ref_table in wave and fk.table == fresh[i])
+                    for fk in fks
+                ):
+                    wave.append(fresh[i])
+                    i += 1
+                list(pool.map(lambda t: keys[t].count(), wave))
 
     # ------------------------------------------------------------------
     def incremental_delta(
@@ -273,6 +371,12 @@ class ClosureEngine:
                 keys[fk.table] = keys[fk.table].unionByName(picked).distinct()
             else:
                 keys[fk.table] = picked
+            if self.materialize_keys:
+                # the window top-k subtree is the most expensive key
+                # plan in the pipeline; at scale it must run once, not
+                # once per downstream FK edge/count branch.  Lazy: the
+                # re-close's emit() is the first consumer.
+                keys[fk.table] = keys[fk.table].localCheckpoint(eager=False)
         return keys
 
     # ------------------------------------------------------------------

@@ -39,11 +39,17 @@ def subset_rows(spark: SparkSession, sf_dir: str, modulus: int = 20, children: i
     keys = eng.pull_children(keys, k=children, edges=li_edge)
     keys = eng.close_parents(keys)
 
-    # Deliberately NOT cached/checkpointed: the key sets are shallow
-    # semi-join trees that the downstream count/integrity branches
-    # re-execute in parallel inside one job — measured 2× faster than
-    # .cache() here (InMemoryRelation blocks pruning and serializes the
-    # branch that populates it; recompute is embarrassingly parallel).
+    # Whether the key sets are materialized is the ENGINE's
+    # scale-adaptive call (closure.CLOSURE_MATERIALIZE_BYTES): at
+    # bench/test SFs they deliberately are NOT — the shallow semi-join
+    # trees re-execute in parallel inside one job, measured 2× faster
+    # than any cache/checkpoint variant (r11 and r12 both measured it;
+    # InMemoryRelation blocks pruning and serializes the branch that
+    # populates it, and each checkpoint is a serializing driver
+    # action).  Above the threshold each key set materializes once,
+    # so the integrity/summary branches stop replaying the closure
+    # subtree per FK edge (~139 runtime scans at sf0.1 → O(#tables +
+    # #edges)).
     return {t: eng.rows_for_keys(t, k) for t, k in keys.items()}
 
 
