@@ -208,11 +208,21 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end custom stateful operator run: final running totals per
     user after the bounded replay (update mode → keep each user's last
     emission)."""
+    # State partitions sized to the session's cores (r12, VERDICT r11
+    # task 7): the batch cost here is python per-GROUP work inside
+    # applyInPandasWithState, which parallelizes across partitions,
+    # while each partition adds fixed store open/commit overhead.
+    # Measured min-of-3 at sf0.1: 32 cores — 8 parts 1.73 s, 16 parts
+    # 1.49 s, 32 parts 1.60 s; 8 cores — 4 parts 2.50 s, 8 parts
+    # 1.81 s, 16 parts 2.12 s.  cores/2 (floor 8, cap 64) picks the
+    # winner at both; results are partitioning-independent.
+    par = spark.sparkContext.defaultParallelism
     out = run_stream_to_memory(
         spark,
         stateful_user_totals(events_stream(spark, sf_dir)),
         name="stream_stateful_totals",
         output_mode="update",
+        state_partitions=max(8, min(64, par // 2)),
     )
     return out.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
