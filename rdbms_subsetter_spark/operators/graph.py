@@ -66,10 +66,7 @@ def pagerank(
         # set, so the union+distinct over both endpoints — a second
         # full pass over the edges — is skipped, and dangling nodes
         # are impossible by construction.
-        # lazy: the n count() below is the materializing action (one
-        # job instead of checkpoint-job + count-job, r12 — the same
-        # fold the CC engines got in r11)
-        node_deg = outdeg.coalesce(4).localCheckpoint(eager=False)
+        node_deg = outdeg.coalesce(4).localCheckpoint(eager=True)
         has_dangling = False
     else:
         node_deg = (
@@ -78,7 +75,7 @@ def pagerank(
             .distinct()
             .join(outdeg, "node", "left")
             .coalesce(4)
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
         has_dangling = (
             node_deg.filter(F.col("outdeg").isNull()).limit(1).count() > 0
@@ -122,12 +119,6 @@ def pagerank(
         # the job-boundary overhead once while still bounding lineage.
         # With dangling nodes the driver scalar forces per-round
         # materialization anyway, so checkpoint every round then.
-        # LAZY (r12, VERDICT r11 task 6): the next thing that touches
-        # the rank vector — the following round's broadcast build (or
-        # dangling aggregate), or the caller's own action on the final
-        # vector — materializes and persists it, so the dedicated
-        # checkpoint job per interval disappears while the lineage
-        # truncation is unchanged.
         if has_dangling or (i + 1) % checkpoint_interval == 0 or i == iterations - 1:
-            ranks = ranks.coalesce(4).localCheckpoint(eager=False)
+            ranks = ranks.coalesce(4).localCheckpoint(eager=True)
     return ranks.select("node", "rank")

@@ -237,10 +237,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round sizing.  Measured 13.3 → 3.4 s on the full entry (loaded
     # box, min-of-3; partitioning does not change results).
     n_part = max(8, min(2048, -(-cat.count_estimate("lineitem") // 500_000)))
-    # lazy: pagerank's first driver action (the node count over the
-    # out-degree aggregate) materializes both this and the node/degree
-    # checkpoint in ONE job (r12 — two preamble jobs folded into one)
-    und = graph.symmetrize(edges).coalesce(n_part).localCheckpoint(eager=False)
+    und = graph.symmetrize(edges).coalesce(n_part).localCheckpoint(eager=True)
     ranks = graph.pagerank(
         und,
         iterations=6,
